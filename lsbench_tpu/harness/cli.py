@@ -1,0 +1,175 @@
+"""Driver CLI — the reference command-line surface, natively dispatched.
+
+Flags and defaults mirror `lsbench_init` (lsbench.c:84-135): `--matrix`
+(required), `--solver`, `--ordering`, `--precision`, `--verbose`, `--trials`,
+`--help`; trials default 100 (lsbench.c:96); unknown solver warns and falls
+back to the default (lsbench.c:31-33); unknown ordering warns and defaults to
+AMD (lsbench.c:47-49); FP16 is rejected like all non-FP64 precisions in the
+reference (lsbench.c:140-141) — FP32 is additionally *accepted* here because
+the TPU build implements it (with iterative refinement via
+`--precision fp32_ir`).
+
+Reference backend names (cusolver, cholmod, hypre, amgx, paralmond, ginkgo)
+are aliases onto native solvers with matching protocols — see
+solvers/__init__ registration — so reference command lines run unchanged.
+
+RHS convention preserved: r[i] = i (lsbench.c:158-160).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+from lsbench_tpu.harness.bench import BenchRecord, run_bench
+from lsbench_tpu.matrix.io import MatrixFormatError, read_matrix
+from lsbench_tpu.solvers.base import get_solver, list_solvers
+
+ORDERINGS = ("none", "rcm", "amd", "metis")
+
+PRECISION_DTYPES = {
+    "fp64": "float64",
+    "fp32": "float32",
+    # "fp32_ir" (fp32 inner solve + fp64 iterative refinement) lands with
+    # the direct solver.
+}
+
+# The reference defaults to its CHOLMOD backend (CMakeLists.txt:5); the
+# native equivalent is the direct Cholesky solver, aliased as "cholmod".
+# Until it registers, fall back to CG.
+def _default_solver() -> str:
+    try:
+        get_solver("cholmod")
+        return "cholmod"
+    except KeyError:
+        return "cg"
+
+
+DEFAULT_SOLVER = None  # resolved lazily in build_parser/_resolve_solver_name
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="lsbench",
+        description="TPU-native sparse linear-solver benchmark harness",
+    )
+    p.add_argument("--matrix", required=True, help="matrix text file (nnz base header + COO triplets)")
+    p.add_argument("--solver", default=None,
+                   help=f"one of: {', '.join(list_solvers())}")
+    p.add_argument("--ordering", default="none", help="none | rcm | amd | metis")
+    p.add_argument("--precision", default="fp64", help="fp64 | fp32 | fp32_ir (fp16 rejected)")
+    p.add_argument("--verbose", type=int, nargs="?", const=1, default=0)
+    p.add_argument("--trials", type=int, default=100)
+    # Extensions beyond the reference surface:
+    p.add_argument("--warmups", type=int, default=2, help="untimed warmup solves")
+    p.add_argument("--rtol", type=float, default=None, help="override solver residual tolerance")
+    p.add_argument("--maxiter", type=int, default=None)
+    p.add_argument("--precond", default=None, help="override preconditioner (none|jacobi|amg)")
+    p.add_argument("--json", action="store_true", help="emit a JSON record after the CSV line")
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (cpu | tpu | ...); default: environment")
+    return p
+
+
+def _resolve_solver_name(name: str | None) -> str:
+    if name is None:
+        return _default_solver()
+    try:
+        get_solver(name)
+        return name.lower()
+    except KeyError:
+        # Reference behavior: warn and default (lsbench.c:31-33).
+        default = _default_solver()
+        print(f"Invalid solver: \"{name}\". Defaulting to {default}.",
+              file=sys.stderr)
+        return default
+
+
+def _resolve_ordering(name: str) -> str:
+    if name.lower() in ORDERINGS:
+        return name.lower()
+    # Reference behavior: warn and default to AMD (lsbench.c:47-49).
+    print(f"Invalid ordering: \"{name}\". Defaulting to AMD.", file=sys.stderr)
+    return "amd"
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+    precision = args.precision.lower()
+    if precision not in PRECISION_DTYPES:
+        # Reference rejects everything but FP64 (lsbench.c:140-141); we
+        # additionally implement fp32/fp32_ir.
+        print(f"Precision '{args.precision}' is not implemented "
+              f"(supported: {', '.join(PRECISION_DTYPES)}).", file=sys.stderr)
+        return 1
+
+    solver_name = _resolve_solver_name(args.solver)
+    ordering = _resolve_ordering(args.ordering)
+
+    try:
+        A = read_matrix(args.matrix)
+    except FileNotFoundError:
+        # Reference: err(EXIT_FAILURE, "Unable to open file ...") lsbench-csr.c:32
+        print(f"Unable to open file \"{args.matrix}\" for reading.", file=sys.stderr)
+        return 1
+    except MatrixFormatError as e:
+        print(str(e), file=sys.stderr)
+        return 1
+    if args.verbose >= 1:
+        print(f"matrix {args.matrix}: n={A.nrows} nnz={A.nnz} "
+              f"({A.nnz / A.nrows:.1f} nnz/row)", file=sys.stderr)
+
+    # RHS r[i] = i (lsbench.c:158-160).
+    b = np.arange(A.nrows, dtype=np.float64)
+
+    cls, params = get_solver(solver_name)
+    params["dtype"] = PRECISION_DTYPES[precision]
+    if precision == "fp32_ir":
+        params["refine_fp64"] = True
+    params["ordering"] = ordering
+    if args.rtol is not None:
+        params["rtol"] = args.rtol
+    if args.maxiter is not None:
+        params["maxiter"] = args.maxiter
+    if args.precond is not None:
+        params["precond"] = args.precond
+
+    t0 = time.perf_counter()
+    solver = cls(A, **_accepted_params(cls, params))
+    setup_s = time.perf_counter() - t0
+
+    rec = run_bench(solver, b, trials=args.trials, warmups=args.warmups,
+                    matrix_name=args.matrix, ordering=ordering,
+                    precision=precision, setup_s=setup_s)
+    # Report under the reference's original solver name for comparability.
+    rec.solver = solver_name
+
+    print(BenchRecord.CSV_HEADER)
+    print(rec.csv_line())
+    if args.json or args.verbose >= 1:
+        print(json.dumps(rec.to_json()))
+    return 0
+
+
+def _accepted_params(cls, params: dict) -> dict:
+    """Drop params the solver doesn't accept (e.g. rtol for direct)."""
+    import inspect
+    sig = inspect.signature(cls.__init__)
+    has_kwargs = any(p.kind == inspect.Parameter.VAR_KEYWORD
+                     for p in sig.parameters.values())
+    if has_kwargs:
+        return params
+    return {k: v for k, v in params.items() if k in sig.parameters}
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,26 @@
+"""Multi-chip dry run: compile + execute one full distributed solve step
+on tiny shapes over an n-device mesh (driver validation hook)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+
+
+def run_dryrun(n_devices: int) -> None:
+    import jax.numpy as jnp
+
+    from lsbench_tpu.matrix.generate import poisson_2d
+    from lsbench_tpu.parallel.dist_cg import DistributedCg
+    from lsbench_tpu.parallel.mesh import make_row_mesh
+
+    mesh = make_row_mesh(n_devices)
+    A = poisson_2d(8 * max(1, int(np.sqrt(n_devices))))  # tiny but shardable
+    solver = DistributedCg(A, mesh, dtype=jnp.float64, rtol=1e-10)
+    b = np.arange(A.nrows, dtype=np.float64)
+    res = solver.solve(b)
+    x = np.asarray(res.x)
+    r = np.linalg.norm(b - A.matvec(x)) / np.linalg.norm(b)
+    assert res.converged and r < 1e-8, (res.iters, res.relres, r)
+    jax.block_until_ready(res.x)

@@ -1,0 +1,98 @@
+"""Solver registry and result types.
+
+The reference declares a backend vtable (`struct backend`,
+lsbench-impl.h:36-40) but never uses it — dispatch is a hardcoded switch over
+compile-time-enabled backends (lsbench.c:162-184). Here the registry is real
+and runtime: solvers self-register by name, `get_solver` resolves them, and
+reference backend names are aliases onto native TPU solvers so a reference
+user's command lines keep working (see harness/cli.py).
+"""
+
+from __future__ import annotations
+
+import abc
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import jax
+import numpy as np
+
+from lsbench_tpu.matrix.csr import CsrMatrix
+
+
+@dataclass
+class SolveResult:
+    """One solve's outcome. Mirrors + extends Ginkgo's convergence log —
+    the only reference backend reporting iterations/residual
+    (ginkgo.cpp:103-108)."""
+
+    x: Any  # device or host vector
+    iters: int = 0
+    relres: float = float("nan")
+    converged: bool = True
+    extra: dict = field(default_factory=dict)
+
+
+class Solver(abc.ABC):
+    """A solver instance bound to one matrix.
+
+    Lifecycle mirrors every reference backend's `csr_init` → repeated
+    `solve` → `csr_finalize` shape (SURVEY.md §1): `setup` does all
+    per-matrix work (layout conversion, ordering, factorization, AMG
+    hierarchy) so that `solve` is the timed hot path, jitted end-to-end.
+    """
+
+    name: str = "base"
+
+    def __init__(self, A: CsrMatrix, dtype=None, **params):
+        self.A = A
+        self.params = params
+
+    @abc.abstractmethod
+    def solve(self, b: jax.Array) -> SolveResult:
+        """Solve A x = b. Must be safe to call repeatedly (bench trials)."""
+
+    # Optional fast path used by the bench loop: a jitted callable
+    # `fn(b) -> x_like` that performs one full solve with no host round
+    # trips; defaults to `solve`.
+    def solve_fn(self) -> Callable[[jax.Array], Any]:
+        return lambda b: self.solve(b).x
+
+    def residual_norm(self, x, b) -> float:
+        """Host-side ||b - A x||_2 — the oracle the reference commented out
+        (cholmod-impl.h:47-53)."""
+        xh = np.asarray(x, dtype=np.float64)
+        bh = np.asarray(b, dtype=np.float64)
+        return float(np.linalg.norm(bh - self.A.matvec(xh)))
+
+
+_REGISTRY: dict[str, type[Solver]] = {}
+_ALIASES: dict[str, tuple[str, dict]] = {}
+
+
+def register_solver(name: str):
+    def deco(cls: type[Solver]):
+        cls.name = name
+        _REGISTRY[name] = cls
+        return cls
+    return deco
+
+
+def register_alias(alias: str, target: str, **default_params):
+    """Map a reference backend name to a native solver + parameter preset."""
+    _ALIASES[alias] = (target, default_params)
+
+
+def get_solver(name: str) -> tuple[type[Solver], dict]:
+    """Resolve a solver name (case-insensitive) to (class, default_params)."""
+    key = name.lower()
+    if key in _ALIASES:
+        target, params = _ALIASES[key]
+        return _REGISTRY[target], dict(params)
+    if key in _REGISTRY:
+        return _REGISTRY[key], {}
+    raise KeyError(f"unknown solver '{name}'. Available: {', '.join(list_solvers())}")
+
+
+def list_solvers() -> list[str]:
+    return sorted(_REGISTRY) + sorted(_ALIASES)

@@ -1,0 +1,59 @@
+"""Distributed CG on a simulated 8-device CPU mesh — golden equality vs the
+single-device solver (SURVEY.md §4 item 3)."""
+
+import jax
+import numpy as np
+import pytest
+
+from lsbench_tpu.matrix.generate import poisson_2d, random_spd
+from lsbench_tpu.parallel.dist_cg import DistributedCg
+from lsbench_tpu.parallel.mesh import make_row_mesh
+from lsbench_tpu.solvers.base import get_solver
+
+from conftest import make_rhs
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    return make_row_mesh(8)
+
+
+def test_dist_cg_matches_single_device(mesh8):
+    A = poisson_2d(13)  # n=169, not divisible by 8 → exercises padding
+    b = make_rhs(A.nrows)
+    dist = DistributedCg(A, mesh8, rtol=1e-10)
+    res = dist.solve(b)
+    assert res.converged
+
+    cls, params = get_solver("cg")
+    single = cls(A, rtol=1e-10, **params)
+    res1 = single.solve(b)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(res1.x),
+                               rtol=1e-8, atol=1e-10)
+    # Same math (fused reductions) → same iteration count.
+    assert abs(res.iters - res1.iters) <= 2
+
+
+def test_dist_cg_residual(mesh8):
+    A = random_spd(257, seed=9)
+    b = make_rhs(257)
+    res = DistributedCg(A, mesh8, rtol=1e-9).solve(b)
+    x = np.asarray(res.x)
+    rr = np.linalg.norm(b - A.matvec(x)) / np.linalg.norm(b)
+    assert rr < 1e-8
+
+
+def test_dryrun_entrypoint(mesh8):
+    from lsbench_tpu.parallel.dryrun import run_dryrun
+    run_dryrun(8)
+
+
+def test_graft_entry_single_chip():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
