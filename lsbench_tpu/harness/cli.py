@@ -34,8 +34,7 @@ ORDERINGS = ("none", "rcm", "amd", "metis")
 PRECISION_DTYPES = {
     "fp64": "float64",
     "fp32": "float32",
-    # "fp32_ir" (fp32 inner solve + fp64 iterative refinement) lands with
-    # the direct solver.
+    "fp32_ir": "mixed",  # f32 inner solve + f64 iterative refinement
 }
 
 # The reference defaults to its CHOLMOD backend (CMakeLists.txt:5); the
@@ -131,10 +130,17 @@ def main(argv=None) -> int:
     # RHS r[i] = i (lsbench.c:158-160).
     b = np.arange(A.nrows, dtype=np.float64)
 
-    cls, params = get_solver(solver_name)
-    params["dtype"] = PRECISION_DTYPES[precision]
     if precision == "fp32_ir":
-        params["refine_fp64"] = True
+        if solver_name in ("cg", "cg_ir"):
+            solver_name = "cg_ir"
+        else:
+            print(f"Precision 'fp32_ir' is only implemented for the cg solver "
+                  f"(got '{solver_name}').", file=sys.stderr)
+            return 1
+
+    cls, params = get_solver(solver_name)
+    if precision != "fp32_ir":
+        params["dtype"] = PRECISION_DTYPES[precision]
     params["ordering"] = ordering
     if args.rtol is not None:
         params["rtol"] = args.rtol

@@ -1,0 +1,130 @@
+"""Block-sparse row (BSR) device layout — the Pallas SpMV format.
+
+TPU has no usable vector gather across more than one vreg (8 sublanes), so
+gather-based CSR/ELL SpMV lowers to a scalar loop (~20ns/nnz — measured
+3.3ms for 146k nnz). The TPU-native answer: store the matrix as dense
+8×128 blocks at the block positions that contain nonzeros, and make SpMV a
+stream of dense (8,128)·(128,) products — contiguous HBM reads, VPU/MXU
+compute, no gathers. RCM ordering (ordering/rcm.py) first concentrates the
+nonzeros near the diagonal so fewer blocks are touched (measured 2.2×
+fewer on xn3b_A_10).
+
+Layout: rows are grouped by BR=8; for each row group the touched 128-wide
+column blocks are stored densely, padded to the max per-group count S:
+
+    blocks:     (n_groups, S*8, 128)  — dense block values (0 in padding)
+    block_cols: (n_groups, S) int32   — column-block index of each slot
+                                         (0 for padding slots, values 0)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lsbench_tpu.matrix.csr import CsrMatrix
+
+BR = 8    # rows per block (f32 sublane count)
+BC = 128  # cols per block (lane count)
+GPS = 16  # row groups per Pallas grid step (output-tile constraint: 16*8 rows)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class BsrMatrix:
+    blocks: jax.Array       # (n_groups, S*8, 128)
+    block_cols: jax.Array   # (n_groups, S) int32
+    nrows: int
+    ncols: int
+    nnz: int
+
+    def tree_flatten(self):
+        return (self.blocks, self.block_cols), (self.nrows, self.ncols, self.nnz)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @property
+    def n_groups(self) -> int:
+        return self.blocks.shape[0]
+
+    @property
+    def slots(self) -> int:
+        return self.block_cols.shape[1]
+
+    @property
+    def n_col_blocks(self) -> int:
+        return _round_up(self.ncols, BC) // BC
+
+    @property
+    def dtype(self):
+        return self.blocks.dtype
+
+    @property
+    def bytes_streamed(self) -> int:
+        """HBM bytes read per SpMV (the roofline numerator)."""
+        return self.blocks.size * self.blocks.dtype.itemsize
+
+    @staticmethod
+    def from_csr(A: CsrMatrix, dtype=jnp.float32) -> "BsrMatrix":
+        # Pad groups to a multiple of GPS so the kernel's (GPS*8)-row output
+        # tiles are full; padding groups are all-zero with block_col 0.
+        n_groups = _round_up(_round_up(A.nrows, BR) // BR, GPS)
+        r, c, v = A.to_coo()
+        gr = r // BR          # row group of each nnz
+        cb = c // BC          # column block of each nnz
+
+        # Unique (group, col-block) pairs, slot index within group.
+        keys = gr * (1 << 32) + cb
+        order = np.argsort(keys, kind="stable")
+        keys_s = keys[order]
+        uniq_mask = np.empty(keys_s.size, dtype=bool)
+        uniq_mask[0] = True
+        uniq_mask[1:] = keys_s[1:] != keys_s[:-1]
+        pair_id = np.cumsum(uniq_mask) - 1          # per sorted-nnz pair index
+        uniq_keys = keys_s[uniq_mask]
+        ugr = (uniq_keys >> 32).astype(np.int64)
+        ucb = (uniq_keys & 0xFFFFFFFF).astype(np.int64)
+
+        # Slot index of each unique pair within its group.
+        counts = np.bincount(ugr, minlength=n_groups)
+        S = max(int(counts.max()), 1)
+        group_start = np.zeros(n_groups + 1, dtype=np.int64)
+        np.cumsum(counts, out=group_start[1:])
+        slot_of_pair = np.arange(ugr.size) - group_start[ugr]
+
+        blocks = np.zeros((n_groups, S * BR, BC), dtype=np.float64)
+        block_cols = np.zeros((n_groups, S), dtype=np.int32)
+        block_cols[ugr, slot_of_pair] = ucb
+
+        # Scatter nnz into their block slots.
+        pr = pair_id                      # aligned with sorted order
+        rs, cs, vs = r[order], c[order], v[order]
+        blocks[ugr[pr], slot_of_pair[pr] * BR + (rs % BR), cs % BC] = vs
+
+        return BsrMatrix(
+            blocks=jnp.asarray(blocks, dtype=dtype),
+            block_cols=jnp.asarray(block_cols),
+            nrows=A.nrows, ncols=A.ncols, nnz=A.nnz)
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        from lsbench_tpu.ops.spmv_pallas import spmv_bsr
+        return spmv_bsr(self, x)
+
+    def matvec_reference(self, x: jax.Array) -> jax.Array:
+        """jnp reference of the same math (oracle for the Pallas kernel)."""
+        x_pad = jnp.zeros(self.n_col_blocks * BC, self.dtype).at[: self.ncols].set(
+            x.astype(self.dtype))
+        xb = x_pad.reshape(self.n_col_blocks, BC)
+        gathered = xb[self.block_cols]                      # (G, S, 128)
+        blk = self.blocks.reshape(self.n_groups, self.slots, BR, BC)
+        y = jnp.einsum("gsrc,gsc->gr", blk, gathered)
+        return y.reshape(-1)[: self.nrows]

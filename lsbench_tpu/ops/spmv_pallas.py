@@ -1,0 +1,142 @@
+"""Pallas TPU SpMV over the BSR layout.
+
+One grid step per 8-row group: its S dense (8,128) blocks are DMA'd
+HBM→VMEM (auto-pipelined, double-buffered by pallas_call across grid
+steps) while the full x vector sits resident in VMEM as a (n_col_blocks,
+128) table. Block-column indices arrive via scalar prefetch
+(PrefetchScalarGridSpec) so each step's x row is a dynamic VMEM index —
+no gathers anywhere. The kernel is HBM-bandwidth bound on the streamed
+blocks: bytes/SpMV = n_blocks * 4 KB.
+
+Reference role: this replaces the vendored SpMV inside every reference
+solver iteration (SURVEY.md §3 hot loops a/b).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lsbench_tpu.matrix.bsr import BC, BR, GPS, BsrMatrix
+
+
+def _kernel_onehot(x_ref, bcols_ref, blocks_ref, o_ref, *, slots: int):
+    """Fully vectorized variant: gather all needed x rows with one MXU
+    matmul against a one-hot selector built from the block-column ids.
+    No scalar reads, no dynamic slicing — best when the x table is small
+    (C = ncols/128 ≲ a few hundred; selector FLOPs scale with C).
+    """
+    C = x_ref.shape[0]
+    T = GPS * slots
+    cb = bcols_ref[:]                                           # (T,1) i32
+    cols_iota = jax.lax.broadcasted_iota(jnp.int32, (T, C), 1)
+    onehot = (cb == cols_iota).astype(jnp.float32)              # (T,C)
+    g = jnp.dot(onehot, x_ref[:], preferred_element_type=jnp.float32)  # (T,128)
+    for gl in range(GPS):
+        acc = jnp.zeros((BR, BC), dtype=jnp.float32)
+        for s in range(slots):
+            blk = blocks_ref[gl, s * BR:(s + 1) * BR, :]        # (8,128)
+            acc = acc + blk * g[gl * slots + s][None, :]
+        o_ref[gl] = jnp.sum(acc, axis=1)
+
+
+def _kernel(idx_ref, x_ref, blocks_ref, o_ref, *, slots: int):
+    """GPS row groups per step: o[gl] = sum_s blocks[gl,s] @ x[cols[gl,s]].
+
+    idx_ref is the flattened (n_groups*S,) block-column array in SMEM
+    (scalar prefetch); 1-D keeps it unpadded in SMEM.
+    """
+    step = pl.program_id(0)
+    for gl in range(GPS):
+        # Accumulate lane-wise across slots; one cross-lane reduction per
+        # group (reductions are the VPU-expensive part).
+        acc = jnp.zeros((BR, BC), dtype=jnp.float32)
+        for s in range(slots):  # static unroll; S is small (≤ ~16)
+            cb = idx_ref[(step * GPS + gl) * slots + s]
+            xb = x_ref[cb, :]                                    # (128,)
+            blk = blocks_ref[gl, s * BR:(s + 1) * BR, :]         # (8,128)
+            acc = acc + blk * xb[None, :]
+        o_ref[gl] = jnp.sum(acc, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _spmv_bsr_onehot_call(block_cols, x_table, blocks, interpret=False):
+    n_groups, sb, _ = blocks.shape
+    slots = sb // BR
+    grid_spec = pl.GridSpec(
+        grid=(n_groups // GPS,),
+        in_specs=[
+            pl.BlockSpec((x_table.shape[0], BC), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GPS * slots, 1), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GPS, sb, BC), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((GPS, BR), lambda g: (g, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            functools.partial(_kernel_onehot, slots=slots),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n_groups, BR), jnp.float32),
+            interpret=interpret,
+        )(x_table, block_cols.reshape(-1, 1), blocks)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _spmv_bsr_call(block_cols, x_table, blocks, interpret=False):
+    n_groups, sb, _ = blocks.shape
+    slots = sb // BR
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_groups // GPS,),
+        in_specs=[
+            # x table: whole vector resident in VMEM, same block every step.
+            pl.BlockSpec((x_table.shape[0], BC), lambda g, idx: (0, 0),
+                         memory_space=pltpu.VMEM),
+            # this step's GPS groups of blocks (auto double-buffered)
+            pl.BlockSpec((GPS, sb, BC), lambda g, idx: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((GPS, BR), lambda g, idx: (g, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    # Trace the kernel with x64 disabled: the library enables x64 globally
+    # (fp64 reference semantics), but x64-traced pallas index maps emit i64
+    # and crash the TPU AOT compiler. All kernel dtypes are explicit, so
+    # this only affects internal index constants.
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            functools.partial(_kernel, slots=slots),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n_groups, BR), jnp.float32),
+            interpret=interpret,
+        )(block_cols.reshape(-1), x_table, blocks)
+
+
+def spmv_bsr(A: BsrMatrix, x: jax.Array, interpret: bool | None = None,
+             variant: str = "auto") -> jax.Array:
+    """y = A @ x (f32). x: (ncols,) → y: (nrows,)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_cb = A.n_col_blocks
+    x_pad = jnp.zeros(n_cb * BC, dtype=jnp.float32).at[: A.ncols].set(
+        x.astype(jnp.float32))
+    x_table = x_pad.reshape(n_cb, BC)
+    if variant == "auto":
+        # "onehot" (MXU-gather) measured incorrect on v5e hardware (fine in
+        # interpret mode) and no faster; keep the scalar-prefetch kernel
+        # until root-caused.
+        variant = "prefetch"
+    if variant == "onehot":
+        y = _spmv_bsr_onehot_call(A.block_cols, x_table, A.blocks,
+                                  interpret=interpret)
+    else:
+        y = _spmv_bsr_call(A.block_cols, x_table, A.blocks, interpret=interpret)
+    return y.reshape(-1)[: A.nrows]

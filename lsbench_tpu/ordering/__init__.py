@@ -1,0 +1,40 @@
+"""Fill-reducing / bandwidth-reducing orderings.
+
+The reference exposes `--ordering RCM|AMD|METIS` and applies the symmetric
+permutation on the host before factorization (cusparse.c:66-96), delegating
+the algorithms to cuSolver. Here they are first-party: RCM (bandwidth
+reduction — also used to densify TPU block-sparse layouts) and AMD (fill
+reduction for the direct solver). METIS-style nested dissection is not
+implemented; requesting it falls back to AMD with a warning, keeping the
+CLI surface intact.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from lsbench_tpu.matrix.csr import CsrMatrix
+from lsbench_tpu.ordering.rcm import rcm_ordering
+from lsbench_tpu.ordering.amd import amd_ordering
+
+
+def get_ordering(name: str, A: CsrMatrix) -> np.ndarray:
+    """Return a permutation `perm` such that B = A[perm, perm] is the
+    reordered matrix (identity for 'none')."""
+    name = name.lower()
+    if name == "none":
+        return np.arange(A.nrows)
+    if name == "rcm":
+        return rcm_ordering(A)
+    if name == "amd":
+        return amd_ordering(A)
+    if name == "metis":
+        print("METIS ordering not implemented natively; using AMD.",
+              file=sys.stderr)
+        return amd_ordering(A)
+    raise KeyError(f"unknown ordering '{name}'")
+
+
+__all__ = ["get_ordering", "rcm_ordering", "amd_ordering"]

@@ -3,6 +3,21 @@ from lsbench_tpu.solvers.base import (SolveResult, Solver, get_solver,
 
 # Importing solver modules registers them.
 from lsbench_tpu.solvers import cg  # noqa: F401
+from lsbench_tpu.solvers import bicgstab  # noqa: F401
+from lsbench_tpu.solvers import refine  # noqa: F401
+from lsbench_tpu.solvers import direct  # noqa: F401
+from lsbench_tpu.solvers.base import register_alias
+
+# Reference backend names → native solvers with matching protocols
+# (lsbench.h:8-16 solver enum; per-backend protocols in BASELINE.md).
+# Ginkgo: BiCGSTAB + Jacobi, implicit resnorm ≤ 1e-4 × initial
+# (ginkgo.cpp:55-64).
+register_alias("ginkgo", "bicgstab", precond="jacobi", rtol=1e-4)
+# CHOLMOD: ordering+factorization in setup, timed solve = triangular solves
+# (cholmod-impl.h:25-26,44-63).
+register_alias("cholmod", "cholesky", refactor_each_solve=False)
+# cusolver csrlsvchol: full factor+solve per timed trial (cusparse.c:183-194).
+register_alias("cusolver", "cholesky", refactor_each_solve=True)
 
 __all__ = ["SolveResult", "Solver", "get_solver", "list_solvers",
            "register_solver"]

@@ -6,15 +6,16 @@ workload is SPD (SURVEY.md §2.1), so CG is the natural native solver; a
 BiCGSTAB twin (solvers/bicgstab.py) covers the nonsymmetric role.
 
 TPU design: the entire iteration runs inside one `jax.jit` via
-`lax.while_loop` — no host round-trips per iteration, so at n≈4–6k the solve
-is a single device program. The two dot products per iteration are computed
-from one stacked reduction (`_fused_dots`) so the distributed version needs
-exactly one `psum` per iteration.
+`lax.while_loop` — no host round-trips per iteration. The two dot products
+per iteration are computed from one stacked reduction (`_fused_dots`) so the
+distributed version needs exactly one `psum` per iteration. The matvec is
+either the jnp padded-row (ELL) SpMV — works at any dtype — or the Pallas
+block-sparse (BSR) kernel (f32, TPU), optionally after an RCM reordering
+that densifies the blocks (the reference applies the same host-side
+symmetric permutation before its device solve, cusparse.c:66-96).
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -28,11 +29,7 @@ from lsbench_tpu.solvers.preconditioners import get_preconditioner
 
 
 def _fused_dots(*pairs):
-    """Compute several dot products with one fused reduction.
-
-    Returns a tuple of scalars. Stacking lets XLA (and later one psum)
-    reduce them together.
-    """
+    """Compute several dot products with one fused reduction."""
     stacked = jnp.stack([jnp.vdot(a, b) for (a, b) in pairs])
     return tuple(stacked[i] for i in range(len(pairs)))
 
@@ -41,7 +38,6 @@ def cg_loop(matvec, precond_apply, b, rtol, maxiter, dtype):
     """Jittable PCG. Returns (x, iters, rnorm, bnorm)."""
     b = b.astype(dtype)
     bnorm = jnp.sqrt(jnp.vdot(b, b))
-    # Guard rhs == 0: answer is x = 0 and the loop exits immediately.
     tol2 = (rtol * bnorm) ** 2
 
     x0 = jnp.zeros_like(b)
@@ -72,27 +68,66 @@ def cg_loop(matvec, precond_apply, b, rtol, maxiter, dtype):
     return x, iters, jnp.sqrt(rr), bnorm
 
 
+def resolve_layout(layout: str, dtype) -> str:
+    if layout != "auto":
+        return layout
+    if jnp.dtype(dtype) == jnp.float32 and jax.default_backend() == "tpu":
+        return "bsr"
+    return "ell"
+
+
+def build_matvec(A: CsrMatrix, dtype, layout: str):
+    """Return (matvec_fn, op_pytree, stream_bytes) for the chosen layout."""
+    if layout == "bsr":
+        from lsbench_tpu.matrix.bsr import BsrMatrix
+        from lsbench_tpu.ops.spmv_pallas import spmv_bsr
+        op = BsrMatrix.from_csr(A, dtype=jnp.float32)
+        return (lambda v: spmv_bsr(op, v)), op, op.bytes_streamed
+    ell = EllMatrix.from_csr(A, dtype=dtype)
+    stream = ell.vals.size * (ell.vals.dtype.itemsize + 4)
+    return (lambda v: spmv_ell(ell, v)), ell, stream
+
+
 @register_solver("cg")
 class CgSolver(Solver):
-    """Jacobi- (or AMG-) preconditioned CG on the padded-row device layout."""
+    """Jacobi- (or AMG-) preconditioned CG, optional RCM/AMD reordering and
+    Pallas BSR matvec."""
 
     def __init__(self, A: CsrMatrix, dtype=jnp.float64, precond="jacobi",
-                 rtol=1e-8, maxiter=None, **params):
+                 rtol=1e-8, maxiter=None, layout="auto", ordering="none",
+                 **params):
         super().__init__(A, **params)
         self.dtype = jnp.dtype(dtype)
         self.rtol = float(rtol)
         self.maxiter = int(maxiter) if maxiter is not None else max(10 * A.nrows, 1000)
-        self.ell = EllMatrix.from_csr(A, dtype=self.dtype)
-        self._pstate, papply = get_preconditioner(precond)(A, self.dtype)
+        self.layout = resolve_layout(layout, self.dtype)
+        self.ordering = ordering
 
-        ell = self.ell
-        rtol_c, maxiter_c, dt = self.rtol, self.maxiter, self.dtype
+        from lsbench_tpu.ordering import get_ordering
+        perm = get_ordering(ordering, A)
+        self._identity_perm = bool(np.all(perm == np.arange(A.nrows)))
+        Ap = A if self._identity_perm else A.permuted(perm)
+        self._perm_dev = None if self._identity_perm else jnp.asarray(perm)
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(A.nrows)
+        self._inv_dev = None if self._identity_perm else jnp.asarray(inv)
+
+        mv, self._op, self.stream_bytes = build_matvec(Ap, self.dtype, self.layout)
+        pdtype = jnp.float32 if self.layout == "bsr" else self.dtype
+        self._pstate, papply = get_preconditioner(precond)(Ap, pdtype)
+
+        rtol_c, maxiter_c = self.rtol, self.maxiter
+        dt = jnp.float32 if self.layout == "bsr" else self.dtype
+        perm_dev, inv_dev = self._perm_dev, self._inv_dev
 
         @jax.jit
         def _solve(pstate, b):
-            mv = lambda v: spmv_ell(ell, v)
+            bp = b if perm_dev is None else b[perm_dev]
             pc = lambda r: papply(pstate, r)
-            return cg_loop(mv, pc, b, rtol_c, maxiter_c, dt)
+            x, iters, rnorm, bnorm = cg_loop(mv, pc, bp, rtol_c, maxiter_c, dt)
+            if inv_dev is not None:
+                x = x[inv_dev]
+            return x, iters, rnorm, bnorm
 
         self._jit_solve = _solve
 
@@ -102,8 +137,7 @@ class CgSolver(Solver):
         rnorm = float(rnorm)
         bnorm = float(bnorm)
         relres = rnorm / bnorm if bnorm > 0 else 0.0
-        it = int(iters)
-        return SolveResult(x=x, iters=it, relres=relres,
+        return SolveResult(x=x, iters=int(iters), relres=relres,
                            converged=relres <= self.rtol or bnorm == 0.0)
 
     def solve_fn(self):

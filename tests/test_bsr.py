@@ -1,0 +1,50 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lsbench_tpu.matrix.bsr import BR, GPS, BsrMatrix
+from lsbench_tpu.matrix.generate import poisson_2d, random_spd
+from lsbench_tpu.ordering.amd import amd_ordering
+from lsbench_tpu.ordering.rcm import bandwidth, rcm_ordering
+from lsbench_tpu.ops.spmv_pallas import spmv_bsr
+
+
+@pytest.mark.parametrize("make", [
+    lambda: random_spd(300, nnz_per_row=9, seed=0),
+    lambda: poisson_2d(17),
+    lambda: random_spd(64, nnz_per_row=3, seed=2),
+])
+@pytest.mark.parametrize("variant", ["prefetch", "onehot"])
+def test_spmv_bsr_matches_host(make, variant):
+    A = make()
+    B = BsrMatrix.from_csr(A)
+    assert B.n_groups % GPS == 0
+    x = np.random.default_rng(1).random(A.ncols)
+    y = np.asarray(spmv_bsr(B, jnp.asarray(x), variant=variant))
+    yref = A.matvec(x)
+    rel = np.abs(y - yref) / (1.0 + np.abs(yref))
+    assert rel.max() < 1e-5
+
+
+def test_bsr_reference_impl():
+    A = poisson_2d(13)
+    B = BsrMatrix.from_csr(A)
+    x = np.random.default_rng(2).random(A.ncols)
+    y = np.asarray(B.matvec_reference(jnp.asarray(x)))
+    rel = np.abs(y - A.matvec(x)) / (1.0 + np.abs(A.matvec(x)))
+    assert rel.max() < 1e-5
+
+
+def test_rcm_reduces_bandwidth_and_blocks():
+    A = random_spd(400, nnz_per_row=7, seed=9)
+    p = rcm_ordering(A)
+    assert sorted(p.tolist()) == list(range(400))
+    B = A.permuted(p)
+    assert bandwidth(B) < bandwidth(A)
+    assert BsrMatrix.from_csr(B).slots <= BsrMatrix.from_csr(A).slots
+
+
+def test_amd_is_permutation():
+    A = random_spd(200, nnz_per_row=7, seed=10)
+    p = amd_ordering(A)
+    assert sorted(p.tolist()) == list(range(200))

@@ -1,0 +1,70 @@
+import numpy as np
+import pytest
+
+from lsbench_tpu.matrix.csr import CsrMatrix
+from lsbench_tpu.matrix.generate import poisson_2d, random_spd
+from lsbench_tpu.solvers.base import get_solver
+
+from conftest import make_rhs
+
+
+def make(name, A, **kw):
+    cls, params = get_solver(name)
+    params.update(kw)
+    return cls(A, **params)
+
+
+def test_cholesky_exact_diag(tiny_matrix_file):
+    from lsbench_tpu.matrix.io import read_matrix
+    A = read_matrix(tiny_matrix_file)
+    b = make_rhs(5)
+    res = make("cholesky", A).solve(b)
+    np.testing.assert_allclose(np.asarray(res.x), b / np.asarray([1, 2, 3, 4, 5.0]),
+                               rtol=1e-12)
+
+
+@pytest.mark.parametrize("ordering", ["none", "rcm", "amd"])
+def test_cholesky_poisson(ordering):
+    A = poisson_2d(14)
+    b = make_rhs(A.nrows)
+    s = make("cholesky", A, ordering=ordering)
+    res = s.solve(b)
+    assert res.relres < 1e-12
+    np.testing.assert_allclose(np.asarray(res.x),
+                               np.linalg.solve(A.to_dense(), b), rtol=1e-8)
+
+
+def test_cholmod_alias_factors_once_cusolver_refactors():
+    A = random_spd(100, seed=1)
+    b = make_rhs(100)
+    cls, p1 = get_solver("cholmod")
+    s1 = cls(A, **p1)
+    assert s1.refactor is False and s1._L is not None
+    cls, p2 = get_solver("cusolver")
+    s2 = cls(A, **p2)
+    assert s2.refactor is True and s2._L is None
+    np.testing.assert_allclose(np.asarray(s1.solve(b).x),
+                               np.asarray(s2.solve(b).x), rtol=1e-9)
+
+
+def test_cholesky_reference_tolerance(ref_data_dir):
+    # Direct solve hits the reference tolerance 1e-10 (cusparse.c:184)
+    # against the symmetrized operator: like CHOLMOD's stype=-1 triplet
+    # (cholmod-impl.h:13-16), Cholesky factorizes one triangle, i.e. the
+    # symmetric part; xn3b is symmetric only to file round-off (3.6e-7,
+    # BASELINE.md), which bounds the residual vs the raw matrix.
+    from lsbench_tpu.matrix.io import read_matrix
+    A = read_matrix(ref_data_dir / "xn3b_A_18.txt")
+    b = make_rhs(A.nrows)
+    res = make("cholesky", A, ordering="amd").solve(b)
+    assert res.relres < 1e-5  # raw-matrix residual, limited by asymmetry
+    sym = (A.to_dense() + A.to_dense().T) / 2
+    x = np.asarray(res.x)
+    rr = np.linalg.norm(b - sym @ x) / np.linalg.norm(b)
+    assert rr < 1e-10
+
+
+def test_dense_guard():
+    A = random_spd(64, seed=0)
+    with pytest.raises(ValueError, match="cg_ir"):
+        make("cholesky", A, max_dense_n=32)

@@ -1,0 +1,93 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lsbench_tpu.matrix.csr import CsrMatrix
+from lsbench_tpu.matrix.generate import poisson_2d, random_spd
+from lsbench_tpu.solvers.base import get_solver
+
+from conftest import make_rhs
+
+
+def make(name, A, **kw):
+    cls, params = get_solver(name)
+    params.update(kw)
+    return cls(A, **params)
+
+
+def test_bicgstab_spd():
+    A = poisson_2d(10)
+    b = make_rhs(A.nrows)
+    s = make("bicgstab", A, rtol=1e-10)
+    res = s.solve(b)
+    assert res.converged
+    np.testing.assert_allclose(np.asarray(res.x),
+                               np.linalg.solve(A.to_dense(), b), rtol=1e-6)
+
+
+def test_bicgstab_nonsymmetric():
+    # CG can't do this; BiCGSTAB covers Ginkgo's general role.
+    rng = np.random.default_rng(0)
+    n = 120
+    d = np.diag(10.0 + rng.random(n))
+    m = d + np.triu(rng.random((n, n)) * 0.5, 1) - np.tril(rng.random((n, n)) * 0.3, -1)
+    m[np.abs(m) < 0.45] = 0.0
+    np.fill_diagonal(m, 10.0 + rng.random(n))
+    A = CsrMatrix.from_dense(m)
+    b = make_rhs(n)
+    res = make("bicgstab", A, rtol=1e-10, maxiter=2000).solve(b)
+    assert res.converged
+    np.testing.assert_allclose(np.asarray(res.x), np.linalg.solve(m, b),
+                               rtol=1e-5)
+
+
+def test_ginkgo_alias_protocol():
+    # ginkgo → bicgstab with 1e-4 implicit reduction (ginkgo.cpp:55-64).
+    A = poisson_2d(10)
+    b = make_rhs(A.nrows)
+    cls, params = get_solver("ginkgo")
+    assert params["rtol"] == 1e-4
+    res = cls(A, **params).solve(b)
+    assert res.converged
+    assert res.relres <= 1e-4
+
+
+def test_cg_bsr_layout_matches_ell():
+    A = poisson_2d(12)
+    b = make_rhs(A.nrows)
+    r_ell = make("cg", A, rtol=1e-5, dtype="float32", layout="ell").solve(b)
+    r_bsr = make("cg", A, rtol=1e-5, dtype="float32", layout="bsr").solve(b)
+    assert r_bsr.converged
+    np.testing.assert_allclose(np.asarray(r_bsr.x), np.asarray(r_ell.x),
+                               rtol=1e-3)
+
+
+@pytest.mark.parametrize("ordering", ["rcm", "amd"])
+def test_cg_with_ordering(ordering):
+    A = random_spd(150, seed=3)
+    b = make_rhs(150)
+    s = make("cg", A, rtol=1e-10, ordering=ordering)
+    res = s.solve(b)
+    assert res.converged
+    np.testing.assert_allclose(np.asarray(res.x),
+                               np.linalg.solve(A.to_dense(), b), rtol=1e-6)
+
+
+def test_cg_ir_reaches_fp64_accuracy():
+    A = poisson_2d(12)
+    b = make_rhs(A.nrows)
+    s = make("cg_ir", A, rtol=1e-11)
+    res = s.solve(b)
+    assert res.converged
+    assert res.relres <= 1e-11
+    assert res.extra["refine_passes"] >= 2  # f32 alone cannot reach 1e-11
+    rr = s.residual_norm(res.x, b) / np.linalg.norm(b)
+    assert rr < 1e-10
+
+
+def test_cg_ir_with_bsr_and_rcm():
+    A = random_spd(200, seed=5)
+    b = make_rhs(200)
+    s = make("cg_ir", A, rtol=1e-10, layout="bsr", ordering="rcm")
+    res = s.solve(b)
+    assert res.converged and res.relres <= 1e-10
