@@ -6,6 +6,7 @@ from lsbench_tpu.solvers import cg  # noqa: F401
 from lsbench_tpu.solvers import bicgstab  # noqa: F401
 from lsbench_tpu.solvers import refine  # noqa: F401
 from lsbench_tpu.solvers import direct  # noqa: F401
+from lsbench_tpu.solvers import amg  # noqa: F401
 from lsbench_tpu.solvers.base import register_alias
 
 # Reference backend names → native solvers with matching protocols
@@ -18,6 +19,14 @@ register_alias("ginkgo", "bicgstab", precond="jacobi", rtol=1e-4)
 register_alias("cholmod", "cholesky", refactor_each_solve=False)
 # cusolver csrlsvchol: full factor+solve per timed trial (cusparse.c:183-194).
 register_alias("cusolver", "cholesky", refactor_each_solve=True)
+# Hypre BoomerAMG: fixed 2 V-cycles, 1 sweep up/down, Chebyshev-family
+# smoother (hypre.c:126-188). (Hypre's 0.25 classical strength threshold
+# does not transfer to SA aggregation; the native default is used.)
+register_alias("hypre", "amg", cycles=2)
+# AmgX: 1 V-cycle (amgx.c:78-86).
+register_alias("amgx", "amg", cycles=1)
+# parAlmond: single AMG cycle application (paralmond.cpp:118-140).
+register_alias("paralmond", "amg", cycles=1)
 
 __all__ = ["SolveResult", "Solver", "get_solver", "list_solvers",
            "register_solver"]

@@ -1,0 +1,351 @@
+"""Algebraic multigrid — the Hypre BoomerAMG / AmgX / parAlmond role.
+
+Reference protocols being mirrored (BASELINE.md):
+- Hypre: strong threshold 0.25 (hypre.c:167), fixed 2 V-cycles
+  (maxiter=2, tol=0 — hypre.c:129,185-186), 1 pre/post sweep. → alias
+  "hypre" = fixed cycles=2.
+- AmgX: strength 0.25, 1 V-cycle (max_iters=1, amgx.c:83). → alias
+  "amgx" = fixed cycles=1.
+- parAlmond: single AMG cycle application with near-nullspace vector
+  1/sqrt(n) (paralmond.cpp:56-58,130). → alias "paralmond" = fixed
+  cycles=1.
+
+Coarsening here is smoothed aggregation over the strength graph (the
+parAlmond family); the classical-AMG backends are covered at the protocol
+level (fixed-cycle counts, threshold, smoother sweeps). PMIS/classical
+interpolation is a planned upgrade.
+
+TPU design: setup (strength, aggregation, prolongator smoothing, Galerkin
+RAP via ops/spgemm.py) runs on host once; the cycle is a closed-form jitted
+function over static per-level operators (ELL for f64/CPU, Pallas BSR for
+f32/TPU), with weighted-Jacobi smoothing. The same one-V-cycle application
+serves as a CG preconditioner ("--precond amg") — symmetric because the
+pre/post Jacobi sweeps are symmetric.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lsbench_tpu.matrix.csr import CsrMatrix
+from lsbench_tpu.ops.spgemm import rap, spgemm
+from lsbench_tpu.solvers.base import SolveResult, Solver, register_solver
+from lsbench_tpu.solvers.cg import build_matvec, resolve_layout
+
+
+# --------------------------------------------------------------- host setup
+
+def strength_graph(A: CsrMatrix, theta: float) -> tuple[np.ndarray, np.ndarray]:
+    """Symmetric strength: keep off-diag (i,j) with
+    |a_ij| >= theta * sqrt(|a_ii a_jj|). Returns (offs, cols) adjacency."""
+    r, c, v = A.to_coo()
+    d = np.abs(A.diagonal())
+    d = np.where(d > 0, d, 1.0)
+    off = r != c
+    strong = off & (np.abs(v) >= theta * np.sqrt(d[r] * d[c]))
+    if not strong.any():
+        return np.zeros(A.nrows + 1, dtype=np.int64), np.zeros(0, dtype=np.int32)
+    G = CsrMatrix.from_coo(r[strong], c[strong], np.ones(strong.sum()),
+                           nrows=A.nrows, ncols=A.nrows, sum_duplicates=False)
+    return G.offs, G.cols
+
+
+def aggregate(A: CsrMatrix, theta: float) -> tuple[np.ndarray, int]:
+    """Greedy distance-1 aggregation on the strength graph.
+
+    Returns (agg_id per node, n_aggregates). Isolated nodes become
+    singletons.
+    """
+    n = A.nrows
+    offs, cols = strength_graph(A, theta)
+    agg = np.full(n, -1, dtype=np.int64)
+    nagg = 0
+    # Pass 1: roots whose strong neighborhood is fully unaggregated.
+    for i in range(n):
+        if agg[i] >= 0:
+            continue
+        nbrs = cols[offs[i]:offs[i + 1]]
+        if (agg[nbrs] >= 0).any():
+            continue
+        agg[i] = nagg
+        agg[nbrs] = nagg
+        nagg += 1
+    # Pass 2: attach leftovers to an adjacent aggregate.
+    for i in range(n):
+        if agg[i] >= 0:
+            continue
+        nbrs = cols[offs[i]:offs[i + 1]]
+        assigned = nbrs[agg[nbrs] >= 0]
+        if assigned.size:
+            agg[i] = agg[assigned[0]]
+    # Pass 3: remaining isolated nodes → singletons.
+    for i in range(n):
+        if agg[i] < 0:
+            agg[i] = nagg
+            nagg += 1
+    return agg, nagg
+
+
+def tentative_prolongator(agg: np.ndarray, nagg: int,
+                          nullspace: np.ndarray | None = None) -> CsrMatrix:
+    """Piecewise-constant P from the near-nullspace vector (default: the
+    constant vector, normalized per aggregate — parAlmond uses 1/sqrt(n),
+    paralmond.cpp:56-58; per-aggregate normalization is the standard SA
+    equivalent)."""
+    n = agg.size
+    ns = np.ones(n) if nullspace is None else np.asarray(nullspace, np.float64)
+    # Normalize within each aggregate.
+    norms = np.zeros(nagg)
+    np.add.at(norms, agg, ns * ns)
+    norms = np.sqrt(np.where(norms > 0, norms, 1.0))
+    vals = ns / norms[agg]
+    return CsrMatrix.from_coo(np.arange(n), agg, vals, nrows=n, ncols=nagg,
+                              sum_duplicates=False)
+
+
+def smooth_prolongator(A: CsrMatrix, T: CsrMatrix, omega_scale: float = 2.0 / 3.0
+                       ) -> CsrMatrix:
+    """P = (I - ω D⁻¹ A) T with ω = omega_scale / ρ(D⁻¹A) (power estimate)."""
+    dinv = 1.0 / np.where(A.diagonal() != 0, A.diagonal(), 1.0)
+    rho = estimate_rho_dinv_a(A, dinv)
+    omega = omega_scale / max(rho, 1e-30)
+    AT = spgemm(A, T)
+    # P = T - omega * Dinv A T  (row-scaled), assembled in COO.
+    r1, c1, v1 = T.to_coo()
+    r2, c2, v2 = AT.to_coo()
+    return CsrMatrix.from_coo(
+        np.concatenate([r1, r2]), np.concatenate([c1, c2]),
+        np.concatenate([v1, -omega * dinv[r2] * v2]),
+        nrows=T.nrows, ncols=T.ncols)
+
+
+def estimate_rho_dinv_a(A: CsrMatrix, dinv: np.ndarray, iters: int = 12) -> float:
+    """Power iteration for ρ(D⁻¹A) on host."""
+    rng = np.random.default_rng(0)
+    x = rng.random(A.nrows) + 0.1
+    rho = 1.0
+    for _ in range(iters):
+        y = dinv * A.matvec(x)
+        nrm = np.linalg.norm(y)
+        if nrm == 0:
+            return 1.0
+        rho = nrm / np.linalg.norm(x)
+        x = y / nrm
+    return float(rho)
+
+
+@dataclass
+class AmgOptions:
+    theta: float = 0.08          # strong threshold for SA aggregation
+    smoother: str = "chebyshev"  # "chebyshev" (hypre cheby order, hypre.c:137)
+    #                              or "jacobi" (weight auto-scaled by ρ(D⁻¹A))
+    degree: int = 2              # Chebyshev degree / Jacobi sweeps
+    jacobi_scale: float = 4.0 / 3.0  # ω = scale / ρ(D⁻¹A)
+    cheby_lower: float = 0.30    # λmin = lower·ρ (hypre cheby fraction style)
+    pre_sweeps: int = 1          # 1 smoother application up/down
+    post_sweeps: int = 1         #   (hypre.c:134-135)
+    max_levels: int = 12
+    coarse_n: int = 128          # direct-solve size
+    min_coarsen_ratio: float = 0.9  # stop if nagg > ratio * n
+
+
+def build_hierarchy(A: CsrMatrix, opts: AmgOptions, dtype, layout: str):
+    """Host setup → (levels, coarse_factor). Each level:
+    dict(matvec, P_mv, R_mv, inv_diag, n_fine, n_coarse)."""
+    levels = []
+    Al = A
+    while (Al.nrows > opts.coarse_n and len(levels) < opts.max_levels):
+        agg, nagg = aggregate(Al, opts.theta)
+        if nagg >= opts.min_coarsen_ratio * Al.nrows or nagg == 0:
+            break
+        T = tentative_prolongator(agg, nagg)
+        P = smooth_prolongator(Al, T)
+        R = P.transpose()
+        Ac = rap(R, Al, P)
+
+        mv, _, _ = build_matvec(Al, dtype, layout)
+        pmv, _, _ = build_matvec(P, dtype, layout)
+        rmv, _, _ = build_matvec(R, dtype, layout)
+        d = Al.diagonal()
+        dinv = 1.0 / np.where(d != 0, d, 1.0)
+        inv_diag = jnp.asarray(dinv, dtype=dtype)
+        # Smoother spectral bound: ρ(D⁻¹A) per level (power iteration).
+        rho = estimate_rho_dinv_a(Al, dinv)
+        levels.append(dict(matvec=mv, P_mv=pmv, R_mv=rmv, inv_diag=inv_diag,
+                           rho=rho, n_fine=Al.nrows, n_coarse=nagg))
+        Al = Ac
+
+    dense = Al.to_dense()
+    dense = (dense + dense.T) * 0.5
+    L = np.linalg.cholesky(dense + 1e-30 * np.eye(Al.nrows))
+    coarse_L = jnp.asarray(L, dtype=dtype)
+    return levels, coarse_L
+
+
+# -------------------------------------------------------------- device cycle
+
+def make_vcycle(levels, coarse_L, opts: AmgOptions, dtype) -> Callable:
+    """Return vcycle(b, x0) -> x, a jittable closed-form V-cycle."""
+    import jax.scipy.linalg as jsl
+
+    def coarse_solve(b):
+        y = jsl.solve_triangular(coarse_L, b, lower=True)
+        return jsl.solve_triangular(coarse_L, y, lower=True, trans=1)
+
+    def jacobi_smooth(L, b, x):
+        om = jnp.asarray(opts.jacobi_scale / L["rho"], dtype)
+        for _ in range(opts.degree):
+            x = x + om * L["inv_diag"] * (b - L["matvec"](x))
+        return x
+
+    def chebyshev_smooth(L, b, x):
+        """Chebyshev polynomial smoother on D⁻¹A over [lower·ρ, 1.1·ρ]
+        (hypre's cheby smoother family, order = opts.degree)."""
+        mv, dinv = L["matvec"], L["inv_diag"]
+        lmax = 1.1 * L["rho"]
+        lmin = opts.cheby_lower * L["rho"]
+        theta = jnp.asarray((lmax + lmin) / 2.0, dtype)
+        delta = jnp.asarray((lmax - lmin) / 2.0, dtype)
+        sigma = theta / delta
+        rho_k = 1.0 / sigma
+        r = b - mv(x)
+        d = (dinv * r) / theta
+        for k in range(opts.degree - 1):
+            x = x + d
+            r = r - mv(d)
+            rho_k1 = 1.0 / (2.0 * sigma - rho_k)
+            d = (rho_k1 * rho_k) * d + (2.0 * rho_k1 / delta) * (dinv * r)
+            rho_k = rho_k1
+        return x + d
+
+    smooth = chebyshev_smooth if opts.smoother == "chebyshev" else jacobi_smooth
+
+    def cycle(lvl: int, b, x):
+        if lvl == len(levels):
+            return coarse_solve(b)
+        L = levels[lvl]
+        for _ in range(opts.pre_sweeps):
+            x = smooth(L, b, x)
+        r = b - L["matvec"](x)
+        rc = L["R_mv"](r)
+        ec = cycle(lvl + 1, rc, jnp.zeros_like(rc))
+        x = x + L["P_mv"](ec)
+        for _ in range(opts.post_sweeps):
+            x = smooth(L, b, x)
+        return x
+
+    def vcycle(b, x0):
+        return cycle(0, b.astype(dtype), x0.astype(dtype))
+
+    return vcycle
+
+
+# ------------------------------------------------------------------- solver
+
+@register_solver("amg")
+class AmgSolver(Solver):
+    """Standalone AMG: fixed-cycle mode (cycles=k, like Hypre maxiter=2
+    tol=0) or converge mode (rtol + maxiter)."""
+
+    def __init__(self, A: CsrMatrix, dtype=jnp.float64, cycles=None,
+                 rtol=1e-8, maxiter=100, theta=0.08, smoother="chebyshev",
+                 degree=2, pre_sweeps=1, post_sweeps=1, coarse_n=128,
+                 max_levels=12, layout="auto", ordering="none", **params):
+        super().__init__(A, **params)
+        self.dtype = jnp.dtype(dtype)
+        self.layout = resolve_layout(layout, self.dtype)
+        self.cycles = int(cycles) if cycles is not None else None
+        self.rtol = float(rtol)
+        self.maxiter = int(maxiter)
+        del ordering  # aggregation is permutation-invariant; flag accepted
+
+        opts = AmgOptions(theta=theta, smoother=smoother, degree=degree,
+                          pre_sweeps=pre_sweeps, post_sweeps=post_sweeps,
+                          coarse_n=coarse_n, max_levels=max_levels)
+        self.opts = opts
+        levels, coarse_L = build_hierarchy(A, opts, self.dtype, self.layout)
+        self.n_levels = len(levels) + 1
+        vcycle = make_vcycle(levels, coarse_L, opts, self.dtype)
+        # Fine-level residual operator (independent of hierarchy depth).
+        fine_mv = (levels[0]["matvec"] if levels
+                   else build_matvec(A, self.dtype, self.layout)[0])
+        dt = self.dtype
+
+        if self.cycles is not None:
+            k = self.cycles
+
+            @jax.jit
+            def _solve(b):
+                b = b.astype(dt)
+                x = jnp.zeros_like(b)
+                for _ in range(k):
+                    x = vcycle(b, x)
+                r = b - fine_mv(x)
+                return x, jnp.sqrt(jnp.vdot(r, r)), jnp.sqrt(jnp.vdot(b, b))
+        else:
+            rtol_c, maxiter_c = self.rtol, self.maxiter
+
+            @jax.jit
+            def _solve(b):
+                b = b.astype(dt)
+                bb = jnp.vdot(b, b)
+                tol2 = (rtol_c ** 2) * bb
+
+                def cond(s):
+                    x, rr, it = s
+                    return jnp.logical_and(it < maxiter_c, rr > tol2)
+
+                def body(s):
+                    x, rr, it = s
+                    x = vcycle(b, x)
+                    r = b - fine_mv(x)
+                    return (x, jnp.vdot(r, r), it + 1)
+
+                x0 = jnp.zeros_like(b)
+                x, rr, it = jax.lax.while_loop(
+                    cond, body, (x0, bb, jnp.int32(0)))
+                return x, jnp.sqrt(rr), jnp.sqrt(bb), it
+
+        self._jit_solve = _solve
+
+    def solve(self, b) -> SolveResult:
+        out = self._jit_solve(jnp.asarray(b))
+        if self.cycles is not None:
+            x, rnorm, bnorm = out
+            iters = self.cycles
+            # Fixed-cycle protocol: "converged" is not the contract
+            # (hypre tol=0); report residual as data (SURVEY.md §5).
+            rnorm, bnorm = float(rnorm), float(bnorm)
+            relres = rnorm / bnorm if bnorm > 0 else 0.0
+            return SolveResult(x=x, iters=iters, relres=relres,
+                               converged=True,
+                               extra={"mode": f"fixed_{self.cycles}_cycles",
+                                      "levels": self.n_levels})
+        x, rnorm, bnorm, iters = out
+        rnorm, bnorm = float(rnorm), float(bnorm)
+        relres = rnorm / bnorm if bnorm > 0 else 0.0
+        return SolveResult(x=x, iters=int(iters), relres=relres,
+                           converged=relres <= self.rtol or bnorm == 0.0,
+                           extra={"levels": self.n_levels})
+
+    def solve_fn(self):
+        return self._jit_solve
+
+
+def amg_precond(A: CsrMatrix, dtype, **amg_params):
+    """One V-cycle as a CG preconditioner (symmetric: Jacobi pre+post)."""
+    layout = resolve_layout(amg_params.pop("layout", "auto"), dtype)
+    opts = AmgOptions(**amg_params)
+    levels, coarse_L = build_hierarchy(A, opts, dtype, layout)
+    vcycle = make_vcycle(levels, coarse_L, opts, dtype)
+
+    def apply(state, r):
+        del state
+        return vcycle(r, jnp.zeros_like(r))
+
+    return None, apply

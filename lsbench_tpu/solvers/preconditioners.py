@@ -29,9 +29,15 @@ def jacobi_precond(A: CsrMatrix, dtype):
     return inv_dev, lambda inv_dev, r: inv_dev * r
 
 
+def _amg_precond(A: CsrMatrix, dtype):
+    from lsbench_tpu.solvers.amg import amg_precond
+    return amg_precond(A, dtype)
+
+
 PRECONDITIONERS = {
     "none": identity_precond,
     "jacobi": jacobi_precond,
+    "amg": _amg_precond,
 }
 
 

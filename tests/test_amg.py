@@ -1,0 +1,97 @@
+import numpy as np
+import pytest
+
+from lsbench_tpu.matrix.csr import CsrMatrix
+from lsbench_tpu.matrix.generate import poisson_2d, poisson_3d, random_spd
+from lsbench_tpu.ops.spgemm import rap, spgemm
+from lsbench_tpu.solvers.base import get_solver
+
+from conftest import make_rhs
+
+
+def make(name, A, **kw):
+    cls, params = get_solver(name)
+    params.update(kw)
+    return cls(A, **params)
+
+
+def test_spgemm_matches_dense():
+    rng = np.random.default_rng(0)
+    a = rng.random((20, 30)); a[a < 0.7] = 0; a[0, 0] = 1
+    b = rng.random((30, 25)); b[b < 0.7] = 0; b[0, 0] = 1
+    A, B = CsrMatrix.from_dense(a), CsrMatrix.from_dense(b)
+    C = spgemm(A, B)
+    np.testing.assert_allclose(C.to_dense(), a @ b, atol=1e-13)
+
+
+def test_rap_matches_dense():
+    A = poisson_2d(8)
+    rng = np.random.default_rng(1)
+    p = rng.random((64, 16)); p[p < 0.6] = 0; p[0, 0] = 1
+    P = CsrMatrix.from_dense(p)
+    R = P.transpose()
+    C = rap(R, A, P)
+    np.testing.assert_allclose(C.to_dense(), p.T @ A.to_dense() @ p, atol=1e-12)
+
+
+def test_amg_converges_poisson():
+    # Converge mode: AMG iterated to rtol must beat plain Jacobi badly.
+    A = poisson_2d(24)  # n=576
+    b = make_rhs(A.nrows)
+    s = make("amg", A, rtol=1e-8, maxiter=60, coarse_n=32)
+    res = s.solve(b)
+    assert res.converged, f"relres={res.relres} iters={res.iters}"
+    assert res.iters < 40  # AMG should converge in O(10) cycles
+    assert res.extra["levels"] >= 2
+    np.testing.assert_allclose(np.asarray(res.x),
+                               np.linalg.solve(A.to_dense(), b), rtol=1e-5)
+
+
+def test_amg_fixed_cycles_hypre_protocol():
+    # hypre alias: exactly 2 V-cycles, always reports (no FIXME).
+    A = poisson_2d(16)
+    b = make_rhs(A.nrows)
+    cls, params = get_solver("hypre")
+    assert params["cycles"] == 2
+    res = cls(A, **params).solve(b)
+    assert res.iters == 2
+    assert res.extra["mode"] == "fixed_2_cycles"
+    assert 0 < res.relres < 1.0  # 2 cycles reduce but don't converge
+
+
+def test_amgx_paralmond_aliases_one_cycle():
+    A = poisson_2d(12)
+    b = make_rhs(A.nrows)
+    for name in ("amgx", "paralmond"):
+        cls, params = get_solver(name)
+        assert params["cycles"] == 1
+        res = cls(A, **params).solve(b)
+        assert res.iters == 1
+
+
+def test_amg_preconditioned_cg():
+    # AMG-CG should converge in far fewer iterations than Jacobi-CG.
+    A = poisson_2d(24)
+    b = make_rhs(A.nrows)
+    r_jac = make("cg", A, rtol=1e-10, precond="jacobi").solve(b)
+    r_amg = make("cg", A, rtol=1e-10, precond="amg").solve(b)
+    assert r_amg.converged
+    assert r_amg.iters < r_jac.iters / 2
+    np.testing.assert_allclose(np.asarray(r_amg.x),
+                               np.linalg.solve(A.to_dense(), b), rtol=1e-6)
+
+
+def test_amg_3d_and_random():
+    for A in [poisson_3d(7), random_spd(300, seed=2)]:
+        b = make_rhs(A.nrows)
+        res = make("amg", A, rtol=1e-8, maxiter=80, coarse_n=32).solve(b)
+        assert res.converged, f"n={A.nrows} relres={res.relres}"
+
+
+def test_amg_reference_workload(ref_data_dir):
+    from lsbench_tpu.matrix.io import read_matrix
+    A = read_matrix(ref_data_dir / "xn3b_A_18.txt")
+    b = make_rhs(A.nrows)
+    res = make("cg", A, rtol=1e-8, precond="amg").solve(b)
+    assert res.converged
+    assert res.iters < 120
