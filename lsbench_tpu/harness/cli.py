@@ -71,6 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--json", action="store_true", help="emit a JSON record after the CSV line")
     p.add_argument("--platform", default=None,
                    help="force a jax platform (cpu | tpu | ...); default: environment")
+    p.add_argument("--roofline", action="store_true",
+                   help="measure the solver's SpMV against the HBM roofline")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of the timed loop into DIR")
     return p
 
 
@@ -153,11 +157,29 @@ def main(argv=None) -> int:
     solver = cls(A, **_accepted_params(cls, params))
     setup_s = time.perf_counter() - t0
 
-    rec = run_bench(solver, b, trials=args.trials, warmups=args.warmups,
-                    matrix_name=args.matrix, ordering=ordering,
-                    precision=precision, setup_s=setup_s)
+    if args.profile_dir:
+        from lsbench_tpu.harness.profile import trace
+        with trace(args.profile_dir):
+            rec = run_bench(solver, b, trials=args.trials, warmups=args.warmups,
+                            matrix_name=args.matrix, ordering=ordering,
+                            precision=precision, setup_s=setup_s)
+    else:
+        rec = run_bench(solver, b, trials=args.trials, warmups=args.warmups,
+                        matrix_name=args.matrix, ordering=ordering,
+                        precision=precision, setup_s=setup_s)
     # Report under the reference's original solver name for comparability.
     rec.solver = solver_name
+
+    if args.roofline:
+        op = solver.matvec_op()
+        if op is None:
+            print("roofline: solver has no streaming SpMV", file=sys.stderr)
+        else:
+            import jax.numpy as jnp
+            from lsbench_tpu.harness.profile import spmv_roofline
+            mv, nnz, stream = op
+            x0 = jnp.asarray(np.random.default_rng(0).random(solver.A.ncols))
+            rec.extra["roofline"] = spmv_roofline(mv, x0, nnz, stream)
 
     print(BenchRecord.CSV_HEADER)
     print(rec.csv_line())

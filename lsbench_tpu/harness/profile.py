@@ -1,0 +1,79 @@
+"""Observability: jax.profiler tracing + per-kernel roofline reporting.
+
+The reference's only observability is wall-of-clock() timing and device
+syncs (SURVEY.md §5); here every SpMV layout knows its streamed bytes, so
+the harness can report achieved vs speed-of-light HBM bandwidth per kernel
+(the BASELINE.json north-star metric).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+
+import jax
+import jax.numpy as jnp
+
+# Peak HBM bandwidth (GB/s) per chip by device kind, for roofline denominators.
+HBM_GBPS = {
+    "v5 lite": 819.0, "v5e": 819.0, "v5p": 2765.0, "v4": 1228.0,
+    "v6 lite": 1640.0, "v6e": 1640.0, "v3": 900.0, "v2": 700.0,
+}
+DEFAULT_HBM_GBPS = 819.0
+
+
+def device_hbm_gbps() -> float:
+    kind = (jax.devices()[0].device_kind or "").lower()
+    for key, bw in HBM_GBPS.items():
+        if key in kind:
+            return bw
+    return DEFAULT_HBM_GBPS
+
+
+@contextlib.contextmanager
+def trace(logdir: str):
+    """jax.profiler trace context (view with TensorBoard/XProf)."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def time_op(fn, x, chain: int = 100, reps: int = 5) -> float:
+    """Steady-state seconds per application of fn, amortizing dispatch by
+    chaining `chain` dependent applications inside one jit."""
+
+    @jax.jit
+    def chained(v):
+        def body(_, u):
+            y = fn(u)
+            return y / jnp.maximum(jnp.max(jnp.abs(y)), 1e-30)
+        return jax.lax.fori_loop(0, chain, body, v)
+
+    jax.block_until_ready(chained(x))
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(chained(x))
+        ts.append(time.perf_counter() - t0)
+    return sorted(ts)[reps // 2] / chain
+
+
+def spmv_roofline(op, x, nnz: int, stream_bytes: int, chain: int = 100) -> dict:
+    """Measure one SpMV operator against the HBM roofline.
+
+    Returns dict with seconds, Gnnz/s, achieved GB/s, and utilization of
+    peak HBM bandwidth (1.0 = speed of light for this layout's traffic).
+    """
+    sec = time_op(op, x, chain=chain)
+    gbps = stream_bytes / sec / 1e9
+    peak = device_hbm_gbps()
+    return {
+        "spmv_s": sec,
+        "gnnz_per_s": nnz / sec / 1e9,
+        "achieved_gbps": gbps,
+        "peak_gbps": peak,
+        "hbm_utilization": gbps / peak,
+        "stream_bytes": stream_bytes,
+    }

@@ -58,6 +58,15 @@ class Solver(abc.ABC):
     def solve_fn(self) -> Callable[[jax.Array], Any]:
         return lambda b: self.solve(b).x
 
+    def matvec_op(self):
+        """(matvec_fn, nnz, stream_bytes) for roofline reporting, or None
+        if the solver has no streaming SpMV (e.g. dense direct)."""
+        mv = getattr(self, "_mv", None)
+        stream = getattr(self, "stream_bytes", None)
+        if mv is None or stream is None:
+            return None
+        return mv, self.A.nnz, stream
+
     def residual_norm(self, x, b) -> float:
         """Host-side ||b - A x||_2 — the oracle the reference commented out
         (cholmod-impl.h:47-53)."""

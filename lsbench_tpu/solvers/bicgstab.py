@@ -90,6 +90,7 @@ class BicgstabSolver(Solver):
         inv_dev = None if identity else jnp.asarray(inv)
 
         mv, self._op, self.stream_bytes = build_matvec(Ap, self.dtype, self.layout)
+        self._mv = mv
         pdtype = jnp.float32 if self.layout == "bsr" else self.dtype
         self._pstate, papply = get_preconditioner(precond)(Ap, pdtype)
 

@@ -1,0 +1,63 @@
+"""Native C++ reader vs numpy fallback equivalence."""
+
+import numpy as np
+import pytest
+
+from lsbench_tpu.matrix.io import MatrixFormatError, _read_coo_numpy
+
+
+def _native():
+    try:
+        from lsbench_tpu.native import reader
+        reader._get_lib()
+        return reader
+    except Exception:
+        pytest.skip("native toolchain unavailable")
+
+
+def test_native_matches_numpy(tiny_matrix_file):
+    reader = _native()
+    rn, cn, vn, bn = reader.read_coo(str(tiny_matrix_file))
+    rp, cp, vp, bp = _read_coo_numpy(str(tiny_matrix_file))
+    assert bn == bp
+    np.testing.assert_array_equal(rn, rp)
+    np.testing.assert_array_equal(cn, cp)
+    np.testing.assert_array_equal(vn, vp)
+
+
+def test_native_reads_reference_matrix(ref_data_dir):
+    reader = _native()
+    rn, cn, vn, bn = reader.read_coo(str(ref_data_dir / "xn3b_A_18.txt"))
+    assert len(vn) == 76591 and bn == 1
+    rp, cp, vp, bp = _read_coo_numpy(str(ref_data_dir / "xn3b_A_18.txt"))
+    np.testing.assert_array_equal(rn, rp)
+    np.testing.assert_allclose(vn, vp, rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("content,exc", [
+    ("", MatrixFormatError),
+    ("4 2\n", MatrixFormatError),
+    ("0 0\n", MatrixFormatError),
+    ("2 0\n0 0 1\n", MatrixFormatError),
+    ("1 0\n0 x 1\n", MatrixFormatError),
+])
+def test_native_error_semantics(tmp_path, content, exc):
+    reader = _native()
+    p = tmp_path / "bad.txt"
+    p.write_text(content)
+    with pytest.raises(exc):
+        reader.read_coo(str(p))
+
+
+def test_native_missing_file():
+    reader = _native()
+    with pytest.raises(FileNotFoundError):
+        reader.read_coo("/does/not/exist.txt")
+
+
+def test_read_matrix_uses_native(tiny_matrix_file, monkeypatch):
+    # End to end through read_matrix (native path active).
+    _native()
+    from lsbench_tpu.matrix.io import read_matrix
+    A = read_matrix(tiny_matrix_file)
+    np.testing.assert_allclose(A.to_dense(), np.diag([1.0, 2, 3, 4, 5]))
