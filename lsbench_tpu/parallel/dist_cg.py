@@ -1,17 +1,16 @@
 """Distributed (block-row partitioned) preconditioned CG via shard_map.
 
 The TPU-native replacement for the reference's non-existent multi-device
-path (SURVEY.md §2.2): the ELL matrix is partitioned by contiguous row
-blocks over a 1-D mesh; vectors are row-sharded. Per iteration:
+path (SURVEY.md §2.2): the matrix is partitioned by contiguous row blocks
+over a 1-D mesh; vectors are row-sharded. Per iteration:
 
-- `all_gather` of the search direction p over ICI (v1 halo strategy —
-  the halo-compressed `ppermute` ring lives in dist_spmv.py, later),
-- local ELL SpMV on the owned row block (no cross-device gather),
-- ONE fused `psum` for all scalar reductions (α and stopping norms
-  together; β's reduction rides the same psum of the next iteration).
+- search-direction exchange: either a halo `ppermute` ring (O(H) per
+  device, banded matrices — parallel/dist_spmv.py) or an `all_gather`
+  (O(n), any structure),
+- local padded-row SpMV on the owned block,
+- ONE fused `psum` for the scalar reductions.
 
-The matrix rows are padded so every device owns an equal block; padded rows
-are zero so they contribute nothing to dots.
+Padded rows are zero so they contribute nothing to dots.
 """
 
 from __future__ import annotations
@@ -21,17 +20,13 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from lsbench_tpu.matrix.csr import CsrMatrix
-from lsbench_tpu.matrix.ell import EllMatrix
+from lsbench_tpu.parallel.dist_spmv import build_halo_plan, halo_spmv_local
 from lsbench_tpu.parallel.mesh import ROWS
 from lsbench_tpu.solvers.base import SolveResult, Solver
-
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
 
 
 class DistributedCg(Solver):
@@ -40,7 +35,8 @@ class DistributedCg(Solver):
     name = "dist_cg"
 
     def __init__(self, A: CsrMatrix, mesh: Mesh, dtype=jnp.float64,
-                 rtol=1e-8, maxiter=None, row_align: int = 8, **params):
+                 rtol=1e-8, maxiter=None, strategy="auto", row_align: int = 8,
+                 **params):
         super().__init__(A, **params)
         self.mesh = mesh
         self.dtype = jnp.dtype(dtype)
@@ -48,26 +44,37 @@ class DistributedCg(Solver):
         self.maxiter = int(maxiter) if maxiter is not None else max(10 * A.nrows, 1000)
         n_dev = mesh.devices.size
 
-        # Equal row blocks: pad rows to n_dev * row_align multiple.
-        ell = EllMatrix.from_csr(A, dtype=self.dtype,
-                                 row_align=n_dev * row_align)
+        plan = build_halo_plan(A, n_dev, self.dtype, row_align=row_align)
+        if strategy == "auto":
+            strategy = "all_gather" if plan.needs_all_gather else "halo"
+        if strategy == "halo" and plan.needs_all_gather:
+            raise ValueError(
+                f"halo strategy impossible: halo {plan.halo} exceeds block "
+                f"size {plan.nloc}; use all_gather (or reorder with RCM)")
+        if strategy == "all_gather" and not plan.needs_all_gather:
+            # Plan stored halo-local columns; rebuild with global columns.
+            plan = _force_global_cols(A, plan)
+        self.strategy = strategy
+        self.plan = plan
         self.n = A.nrows
-        self.n_pad = ell.n_pad
+        self.n_pad = plan.n_pad
 
         row_shard = NamedSharding(mesh, P(ROWS, None))
         vec_shard = NamedSharding(mesh, P(ROWS))
         self.vec_shard = vec_shard
-        vals = jax.device_put(ell.vals, row_shard)
-        cols = jax.device_put(ell.cols, row_shard)
+        vals = jax.device_put(plan.vals, row_shard)
+        cols = jax.device_put(plan.cols, row_shard)
 
-        # Jacobi preconditioner, padded+sharded (pad slots get inv_diag=1,
-        # harmless since r is 0 there).
+        # Jacobi preconditioner, padded+sharded.
         d = np.ones(self.n_pad)
         diag = A.diagonal()
         d[: self.n] = np.where(diag != 0.0, diag, 1.0)
-        inv_diag = jax.device_put(jnp.asarray(1.0 / d, dtype=self.dtype), vec_shard)
+        inv_diag = jax.device_put(jnp.asarray(1.0 / d, dtype=self.dtype),
+                                  vec_shard)
 
         rtol_c, maxiter_c = self.rtol, self.maxiter
+        halo = plan.halo
+        use_halo = strategy == "halo"
 
         @partial(shard_map, mesh=mesh,
                  in_specs=(P(ROWS, None), P(ROWS, None), P(ROWS), P(ROWS)),
@@ -77,10 +84,13 @@ class DistributedCg(Solver):
                 s = jax.lax.psum(jnp.stack(scalars), ROWS)
                 return tuple(s[i] for i in range(len(scalars)))
 
-            def matvec(p_full, owned):
-                # Local rows × full vector; cols index the global vector.
-                del owned
-                return jnp.sum(vals_l * p_full[cols_l], axis=1)
+            if use_halo:
+                def matvec(p_l):
+                    return halo_spmv_local(halo, vals_l, cols_l, p_l)
+            else:
+                def matvec(p_l):
+                    p_full = jax.lax.all_gather(p_l, ROWS, tiled=True)
+                    return jnp.sum(vals_l * p_full[cols_l], axis=1)
 
             (bb,) = fused_psum(jnp.vdot(b_l, b_l))
             tol2 = (rtol_c ** 2) * bb
@@ -97,8 +107,7 @@ class DistributedCg(Solver):
 
             def body(s):
                 x, r, p, rz, rr, it = s
-                p_full = jax.lax.all_gather(p, ROWS, tiled=True)
-                Ap = matvec(p_full, p)
+                Ap = matvec(p)
                 (pAp,) = fused_psum(jnp.vdot(p, Ap))
                 alpha = rz / pAp
                 x = x + alpha * p
@@ -131,10 +140,25 @@ class DistributedCg(Solver):
         # shard boundaries would need a resharding collective).
         x_host = np.asarray(x)[: self.n]
         return SolveResult(x=x_host, iters=int(iters), relres=relres,
-                           converged=relres <= self.rtol)
+                           converged=relres <= self.rtol,
+                           extra={"strategy": self.strategy,
+                                  "halo": self.plan.halo})
 
     def solve_fn(self):
         vals, cols, inv_diag = self._vals, self._cols, self._inv_diag
         jit_cg = self._jit_cg
         pad = self._pad_b
         return lambda b: jit_cg(vals, cols, inv_diag, pad(b))
+
+
+def _force_global_cols(A: CsrMatrix, plan):
+    """Rebuild the plan's column ids as global indices (all_gather path)."""
+    from dataclasses import replace
+
+    counts = np.diff(A.offs)
+    k = plan.vals.shape[1]
+    cols = np.zeros((plan.n_pad, k), dtype=np.int32)
+    rows_idx = A.row_indices()
+    slot = np.arange(A.nnz) - A.offs[rows_idx]
+    cols[rows_idx, slot] = A.cols
+    return replace(plan, cols=jnp.asarray(cols), needs_all_gather=True)
