@@ -26,8 +26,9 @@ register_alias("cusolver", "cholesky", refactor_each_solve=True)
 register_alias("hypre", "amg", cycles=2)
 # AmgX: 1 V-cycle (amgx.c:78-86).
 register_alias("amgx", "amg", cycles=1)
-# parAlmond: single AMG cycle application (paralmond.cpp:118-140).
-register_alias("paralmond", "amg", cycles=1)
+# parAlmond: single AMG K-cycle application (paralmond.cpp:118-140; the
+# parAlmond library is K-cycle AMG).
+register_alias("paralmond", "amg", cycles=1, cycle="k")
 
 __all__ = ["SolveResult", "Solver", "get_solver", "list_solvers",
            "register_solver"]

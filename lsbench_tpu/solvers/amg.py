@@ -141,6 +141,7 @@ def estimate_rho_dinv_a(A: CsrMatrix, dinv: np.ndarray, iters: int = 12) -> floa
 
 @dataclass
 class AmgOptions:
+    cycle: str = "v"             # "v" or "k" (Notay K-cycle, parAlmond)
     theta: float = 0.08          # strong threshold for SA aggregation
     smoother: str = "chebyshev"  # "chebyshev" (hypre cheby order, hypre.c:137)
     #                              or "jacobi" (weight auto-scaled by ρ(D⁻¹A))
@@ -225,6 +226,31 @@ def make_vcycle(levels, coarse_L, opts: AmgOptions, dtype) -> Callable:
 
     smooth = chebyshev_smooth if opts.smoother == "chebyshev" else jacobi_smooth
 
+    def coarse_correct(lvl: int, rc):
+        """Approximate solve of A_{lvl} e = rc by one cycle (V) or two
+        Krylov steps preconditioned by the cycle (K-cycle, Notay —
+        parAlmond's algorithm, paralmond.cpp AMGSetup/Operator role)."""
+        if lvl == len(levels):
+            return coarse_solve(rc)
+        if opts.cycle == "v":
+            return cycle(lvl, rc, jnp.zeros_like(rc))
+        mv = levels[lvl]["matvec"]
+        eps = jnp.asarray(1e-30, dtype)
+        # Step 1 (FCG): u = M rc
+        u = cycle(lvl, rc, jnp.zeros_like(rc))
+        v = mv(u)
+        rho1 = jnp.vdot(u, v) + eps
+        alpha1 = jnp.vdot(u, rc)
+        rt = rc - (alpha1 / rho1) * v
+        # Step 2: w = M rt, combined A-orthogonal update.
+        w = cycle(lvl, rt, jnp.zeros_like(rt))
+        z = mv(w)
+        gamma = jnp.vdot(v, w)
+        rho2 = jnp.vdot(w, z) - gamma * gamma / rho1 + eps
+        alpha2 = jnp.vdot(w, rt)
+        return (alpha1 / rho1 - gamma * alpha2 / (rho1 * rho2)) * u \
+            + (alpha2 / rho2) * w
+
     def cycle(lvl: int, b, x):
         if lvl == len(levels):
             return coarse_solve(b)
@@ -233,7 +259,7 @@ def make_vcycle(levels, coarse_L, opts: AmgOptions, dtype) -> Callable:
             x = smooth(L, b, x)
         r = b - L["matvec"](x)
         rc = L["R_mv"](r)
-        ec = cycle(lvl + 1, rc, jnp.zeros_like(rc))
+        ec = coarse_correct(lvl + 1, rc)
         x = x + L["P_mv"](ec)
         for _ in range(opts.post_sweeps):
             x = smooth(L, b, x)
@@ -254,8 +280,9 @@ class AmgSolver(Solver):
 
     def __init__(self, A: CsrMatrix, dtype=jnp.float64, cycles=None,
                  rtol=1e-8, maxiter=100, theta=0.08, smoother="chebyshev",
-                 degree=2, pre_sweeps=1, post_sweeps=1, coarse_n=128,
-                 max_levels=12, layout="auto", ordering="none", **params):
+                 degree=2, cycle="v", pre_sweeps=1, post_sweeps=1,
+                 coarse_n=128, max_levels=12, layout="auto", ordering="none",
+                 **params):
         super().__init__(A, **params)
         self.dtype = jnp.dtype(dtype)
         self.layout = resolve_layout(layout, self.dtype)
@@ -264,9 +291,10 @@ class AmgSolver(Solver):
         self.maxiter = int(maxiter)
         del ordering  # aggregation is permutation-invariant; flag accepted
 
-        opts = AmgOptions(theta=theta, smoother=smoother, degree=degree,
-                          pre_sweeps=pre_sweeps, post_sweeps=post_sweeps,
-                          coarse_n=coarse_n, max_levels=max_levels)
+        opts = AmgOptions(cycle=cycle, theta=theta, smoother=smoother,
+                          degree=degree, pre_sweeps=pre_sweeps,
+                          post_sweeps=post_sweeps, coarse_n=coarse_n,
+                          max_levels=max_levels)
         self.opts = opts
         levels, coarse_L = build_hierarchy(A, opts, self.dtype, self.layout)
         self.n_levels = len(levels) + 1

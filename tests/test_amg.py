@@ -81,6 +81,23 @@ def test_amg_preconditioned_cg():
                                np.linalg.solve(A.to_dense(), b), rtol=1e-6)
 
 
+def test_amg_kcycle_converges_no_slower_than_v():
+    A = poisson_2d(20)
+    b = make_rhs(A.nrows)
+    rv = make("amg", A, rtol=1e-8, maxiter=100, cycle="v", coarse_n=16,
+              max_levels=2).solve(b)
+    rk = make("amg", A, rtol=1e-8, maxiter=100, cycle="k", coarse_n=16,
+              max_levels=2).solve(b)
+    assert rk.converged
+    assert rk.iters <= rv.iters  # K-cycle strengthens truncated hierarchies
+
+
+def test_paralmond_alias_is_kcycle():
+    from lsbench_tpu.solvers.base import get_solver
+    _, params = get_solver("paralmond")
+    assert params.get("cycle") == "k" and params["cycles"] == 1
+
+
 def test_amg_3d_and_random():
     for A in [poisson_3d(7), random_spd(300, seed=2)]:
         b = make_rhs(A.nrows)
