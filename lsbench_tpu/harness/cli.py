@@ -67,7 +67,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--warmups", type=int, default=2, help="untimed warmup solves")
     p.add_argument("--rtol", type=float, default=None, help="override solver residual tolerance")
     p.add_argument("--maxiter", type=int, default=None)
-    p.add_argument("--precond", default=None, help="override preconditioner (none|jacobi|amg)")
+    p.add_argument("--precond", default=None,
+                   help="override preconditioner "
+                        "(none|jacobi|block_jacobi|amg|amg_classical)")
     p.add_argument("--json", action="store_true", help="emit a JSON record after the CSV line")
     p.add_argument("--platform", default=None,
                    help="force a jax platform (cpu | tpu | ...); default: environment")

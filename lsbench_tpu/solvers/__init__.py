@@ -20,12 +20,12 @@ register_alias("ginkgo", "bicgstab", precond="jacobi", rtol=1e-4)
 register_alias("cholmod", "cholesky", refactor_each_solve=False)
 # cusolver csrlsvchol: full factor+solve per timed trial (cusparse.c:183-194).
 register_alias("cusolver", "cholesky", refactor_each_solve=True)
-# Hypre BoomerAMG: fixed 2 V-cycles, 1 sweep up/down, Chebyshev-family
-# smoother (hypre.c:126-188). (Hypre's 0.25 classical strength threshold
-# does not transfer to SA aggregation; the native default is used.)
-register_alias("hypre", "amg", cycles=2)
-# AmgX: 1 V-cycle (amgx.c:78-86).
-register_alias("amgx", "amg", cycles=1)
+# Hypre BoomerAMG: classical AMG (PMIS coarsening + distance-2-family
+# interp, strength 0.25), fixed 2 V-cycles, 1 sweep up/down,
+# Chebyshev-family smoother (hypre.c:126-188).
+register_alias("hypre", "amg", cycles=2, coarsening="classical", theta=0.25)
+# AmgX: CLASSICAL selector, strength 0.25, 1 V-cycle (amgx.c:78-86).
+register_alias("amgx", "amg", cycles=1, coarsening="classical", theta=0.25)
 # parAlmond: single AMG K-cycle application (paralmond.cpp:118-140; the
 # parAlmond library is K-cycle AMG).
 register_alias("paralmond", "amg", cycles=1, cycle="k")

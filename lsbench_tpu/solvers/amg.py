@@ -10,10 +10,11 @@ Reference protocols being mirrored (BASELINE.md):
   1/sqrt(n) (paralmond.cpp:56-58,130). → alias "paralmond" = fixed
   cycles=1.
 
-Coarsening here is smoothed aggregation over the strength graph (the
-parAlmond family); the classical-AMG backends are covered at the protocol
-level (fixed-cycle counts, threshold, smoother sweeps). PMIS/classical
-interpolation is a planned upgrade.
+Two coarsening families are implemented: smoothed aggregation (the
+parAlmond family; this module) and classical PMIS + direct interpolation
+(the Hypre/AmgX family; solvers/classical_amg.py), selected by
+`coarsening="sa"|"classical"`. The hypre/amgx aliases use classical at
+strength 0.25; paralmond uses SA with a K-cycle.
 
 TPU design: setup (strength, aggregation, prolongator smoothing, Galerkin
 RAP via ops/spgemm.py) runs on host once; the cycle is a closed-form jitted
@@ -142,7 +143,13 @@ def estimate_rho_dinv_a(A: CsrMatrix, dinv: np.ndarray, iters: int = 12) -> floa
 @dataclass
 class AmgOptions:
     cycle: str = "v"             # "v" or "k" (Notay K-cycle, parAlmond)
-    theta: float = 0.08          # strong threshold for SA aggregation
+    coarsening: str = "sa"       # "sa" (smoothed aggregation, parAlmond
+    #                              family) or "classical" (PMIS + direct
+    #                              interp — Hypre coarsening 8 / AmgX
+    #                              CLASSICAL, hypre.c:127, amgx.c:80)
+    theta: float | None = None   # strong threshold; None → per-family
+    #                              default: 0.08 SA, 0.25 classical
+    #                              (hypre.c:167, amgx.c:81)
     smoother: str = "chebyshev"  # "chebyshev" (hypre cheby order, hypre.c:137)
     #                              or "jacobi" (weight auto-scaled by ρ(D⁻¹A))
     degree: int = 2              # Chebyshev degree / Jacobi sweeps
@@ -155,17 +162,30 @@ class AmgOptions:
     min_coarsen_ratio: float = 0.9  # stop if nagg > ratio * n
 
 
+def _coarsen_level(Al: CsrMatrix, opts: AmgOptions, level: int
+                   ) -> tuple[CsrMatrix | None, int]:
+    """One coarsening step → (P, n_coarse); P=None means stop."""
+    if opts.coarsening == "classical":
+        from lsbench_tpu.solvers.classical_amg import classical_coarsen
+        theta = 0.25 if opts.theta is None else opts.theta
+        return classical_coarsen(Al, theta, seed=level)
+    theta = 0.08 if opts.theta is None else opts.theta
+    agg, nagg = aggregate(Al, theta)
+    if nagg == 0:
+        return None, 0
+    T = tentative_prolongator(agg, nagg)
+    return smooth_prolongator(Al, T), nagg
+
+
 def build_hierarchy(A: CsrMatrix, opts: AmgOptions, dtype, layout: str):
     """Host setup → (levels, coarse_factor). Each level:
     dict(matvec, P_mv, R_mv, inv_diag, n_fine, n_coarse)."""
     levels = []
     Al = A
     while (Al.nrows > opts.coarse_n and len(levels) < opts.max_levels):
-        agg, nagg = aggregate(Al, opts.theta)
-        if nagg >= opts.min_coarsen_ratio * Al.nrows or nagg == 0:
+        P, nagg = _coarsen_level(Al, opts, len(levels))
+        if P is None or nagg >= opts.min_coarsen_ratio * Al.nrows:
             break
-        T = tentative_prolongator(agg, nagg)
-        P = smooth_prolongator(Al, T)
         R = P.transpose()
         Ac = rap(R, Al, P)
 
@@ -279,7 +299,8 @@ class AmgSolver(Solver):
     tol=0) or converge mode (rtol + maxiter)."""
 
     def __init__(self, A: CsrMatrix, dtype=jnp.float64, cycles=None,
-                 rtol=1e-8, maxiter=100, theta=0.08, smoother="chebyshev",
+                 rtol=1e-8, maxiter=100, theta=None, coarsening="sa",
+                 smoother="chebyshev",
                  degree=2, cycle="v", pre_sweeps=1, post_sweeps=1,
                  coarse_n=128, max_levels=12, layout="auto", ordering="none",
                  **params):
@@ -289,9 +310,10 @@ class AmgSolver(Solver):
         self.cycles = int(cycles) if cycles is not None else None
         self.rtol = float(rtol)
         self.maxiter = int(maxiter)
-        del ordering  # aggregation is permutation-invariant; flag accepted
+        del ordering  # coarsening is permutation-invariant; flag accepted
 
-        opts = AmgOptions(cycle=cycle, theta=theta, smoother=smoother,
+        opts = AmgOptions(cycle=cycle, theta=theta, coarsening=coarsening,
+                          smoother=smoother,
                           degree=degree, pre_sweeps=pre_sweeps,
                           post_sweeps=post_sweeps, coarse_n=coarse_n,
                           max_levels=max_levels)

@@ -95,7 +95,7 @@ class CgSolver(Solver):
 
     def __init__(self, A: CsrMatrix, dtype=jnp.float64, precond="jacobi",
                  rtol=1e-8, maxiter=None, layout="auto", ordering="none",
-                 **params):
+                 precond_params=None, **params):
         super().__init__(A, **params)
         self.dtype = jnp.dtype(dtype)
         self.rtol = float(rtol)
@@ -115,7 +115,8 @@ class CgSolver(Solver):
         mv, self._op, self.stream_bytes = build_matvec(Ap, self.dtype, self.layout)
         self._mv = mv
         pdtype = jnp.float32 if self.layout == "bsr" else self.dtype
-        self._pstate, papply = get_preconditioner(precond)(Ap, pdtype)
+        self._pstate, papply = get_preconditioner(precond)(
+            Ap, pdtype, **(precond_params or {}))
 
         rtol_c, maxiter_c = self.rtol, self.maxiter
         dt = jnp.float32 if self.layout == "bsr" else self.dtype

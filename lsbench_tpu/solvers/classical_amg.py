@@ -1,0 +1,188 @@
+"""Classical (Ruge-Stüben family) AMG coarsening — the Hypre/AmgX algorithms.
+
+The reference configures Hypre BoomerAMG with coarsening type 8 = PMIS and
+interpolation 6 = extended+i at strong threshold 0.25 (hypre.c:126-188), and
+AmgX with CLASSICAL selector, strength 0.25, D2 interpolator (amgx.c:78-86).
+This module implements that family natively on the host (AMG *setup* is
+host-side by design — SURVEY.md §7.5; the cycle itself runs on device):
+
+- classical strength-of-connection (signed, M-matrix convention),
+- PMIS parallel-maximal-independent-set C/F splitting (De Sterck, Yang &
+  Heys 2006 — the algorithm behind Hypre coarsening 8),
+- direct interpolation with positive/negative coupling split plus a
+  C-promotion fixup for F-points left without strong C-neighbours (the role
+  Hypre's distance-2 "extended+i" interpolation plays for PMIS grids).
+
+Everything is vectorized NumPy over CSR arrays; no SciPy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from lsbench_tpu.matrix.csr import CsrMatrix
+
+UNDECIDED, FPOINT, CPOINT = -1, 0, 1
+
+
+def classical_strength(A: CsrMatrix, theta: float
+                       ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Classical strength of connection.
+
+    j is a strong dependency of i iff  -a_ij·sign(a_ii) >= theta · max_k
+    (-a_ik·sign(a_ii))  over off-diagonal k (Ruge-Stüben measure; matches
+    Hypre's default for the 0.25 threshold, hypre.c:167).
+
+    Returns (rows, cols) of the strong-dependency edge set S (i depends on
+    j), plus the per-edge index into A's nnz arrays.
+    """
+    r = A.row_indices()
+    c = A.cols
+    v = A.vals
+    d = A.diagonal()
+    off = r != c
+    # m_ij = -a_ij * sign(a_ii): positive for "good" (M-matrix) couplings.
+    sign = np.where(d[r] >= 0, 1.0, -1.0)
+    m = np.where(off, -v * sign, -np.inf)
+    rowmax = np.full(A.nrows, -np.inf)
+    np.maximum.at(rowmax, r, m)
+    ok = rowmax > 0
+    strong = off & ok[r] & (m >= theta * rowmax[r]) & (m > 0)
+    idx = np.flatnonzero(strong)
+    return r[idx], c[idx], idx
+
+
+def pmis_splitting(n: int, s_rows: np.ndarray, s_cols: np.ndarray,
+                   seed: int = 0) -> np.ndarray:
+    """PMIS C/F splitting on the strength graph.
+
+    Weights w_i = (# points strongly depending on i) + rand[0,1); repeat:
+    undecided points whose weight beats every undecided neighbour (in the
+    symmetrized strength graph) become C; undecided points adjacent to a new
+    C become F. Points with no strong connections at all become F
+    immediately (smoother-only points).
+    """
+    rng = np.random.default_rng(seed)
+    w = np.bincount(s_cols, minlength=n).astype(np.float64) + rng.random(n)
+    state = np.full(n, UNDECIDED, dtype=np.int8)
+
+    has_edge = np.zeros(n, dtype=bool)
+    has_edge[s_rows] = True
+    has_edge[s_cols] = True
+    state[~has_edge] = FPOINT
+
+    # Symmetrized edge list for independence / F-assignment.
+    ea = np.concatenate([s_rows, s_cols])
+    eb = np.concatenate([s_cols, s_rows])
+
+    while True:
+        und = state == UNDECIDED
+        if not und.any():
+            break
+        live = und[ea] & und[eb]
+        neigh_max = np.full(n, -1.0)
+        np.maximum.at(neigh_max, ea[live], w[eb[live]])
+        new_c = und & (w > neigh_max)
+        if not new_c.any():  # cannot happen with distinct random weights
+            state[und] = CPOINT
+            break
+        state[new_c] = CPOINT
+        # Undecided neighbours of new C points → F.
+        mark = (state[ea] == UNDECIDED) & new_c[eb]
+        state[ea[mark]] = FPOINT
+    return state
+
+
+def promote_uninterpolable(state: np.ndarray, s_rows: np.ndarray,
+                           s_cols: np.ndarray) -> np.ndarray:
+    """Promote to C any F-point with strong dependencies but no strong
+    C-neighbour to interpolate from.
+
+    PMIS alone leaves such points (its independent set is distance-1);
+    Hypre pairs PMIS with distance-2 interpolation (interp 6, hypre.c:128)
+    instead. Promotion keeps interpolation direct while guaranteeing
+    feasibility; grids come out slightly larger than ext+i would give.
+    """
+    state = state.copy()
+    while True:
+        has_c_dep = np.zeros(state.size, dtype=bool)
+        edge = state[s_cols] == CPOINT
+        has_c_dep[s_rows[edge]] = True
+        has_dep = np.zeros(state.size, dtype=bool)
+        has_dep[s_rows] = True
+        bad = (state == FPOINT) & has_dep & ~has_c_dep
+        if not bad.any():
+            return state
+        # Promote the worst offenders one independent wave at a time is
+        # unnecessary — promoting all of them at once only adds C points.
+        state[bad] = CPOINT
+
+
+def direct_interpolation(A: CsrMatrix, s_idx: np.ndarray, state: np.ndarray
+                         ) -> CsrMatrix:
+    """Classical direct interpolation P (F-rows) + identity (C-rows).
+
+    For an F-point i with strong C-set C_i (split by coupling sign):
+        alpha_i = sum_{j in N_i, a_ij<0} a_ij / sum_{j in C_i, a_ij<0} a_ij
+        beta_i  = likewise over positive couplings
+        w_ij = -alpha_i a_ij / d_i   (a_ij < 0)
+        w_ij = -beta_i  a_ij / d_i   (a_ij > 0)
+    where positive couplings with no positive C-neighbour are lumped into
+    the diagonal d_i instead (Stüben 2001, eq. (31)-(33) family).
+    """
+    n = A.nrows
+    r = A.row_indices()
+    c = A.cols
+    v = A.vals
+    d = A.diagonal().copy()
+    off = r != c
+
+    in_s = np.zeros(A.nnz, dtype=bool)
+    in_s[s_idx] = True
+    to_c = in_s & (state[c] == CPOINT)
+
+    neg = off & (v < 0)
+    pos = off & (v > 0)
+    sum_neg_all = np.zeros(n); np.add.at(sum_neg_all, r[neg], v[neg])
+    sum_pos_all = np.zeros(n); np.add.at(sum_pos_all, r[pos], v[pos])
+    sum_neg_c = np.zeros(n); np.add.at(sum_neg_c, r[neg & to_c], v[neg & to_c])
+    sum_pos_c = np.zeros(n); np.add.at(sum_pos_c, r[pos & to_c], v[pos & to_c])
+
+    alpha = np.divide(sum_neg_all, sum_neg_c,
+                      out=np.zeros(n), where=sum_neg_c != 0)
+    # Positive couplings: scale if C has positive entries, else lump into d.
+    has_pos_c = sum_pos_c != 0
+    beta = np.divide(sum_pos_all, sum_pos_c,
+                     out=np.zeros(n), where=has_pos_c)
+    d_eff = np.where(has_pos_c, d, d + sum_pos_all)
+    d_eff = np.where(d_eff != 0, d_eff, 1.0)
+
+    cmap = np.cumsum(state == CPOINT) - 1  # fine C index → coarse index
+    ncoarse = int(cmap[-1]) + 1 if n else 0
+
+    # F rows.
+    fsel = to_c & (state[r] == FPOINT)
+    fr = r[fsel]
+    scale = np.where(v[fsel] < 0, alpha[fr], beta[fr])
+    pw = -scale * v[fsel] / d_eff[fr]
+    # C rows: identity.
+    crows = np.flatnonzero(state == CPOINT)
+
+    rows = np.concatenate([fr, crows])
+    cols = np.concatenate([cmap[c[fsel]], cmap[crows]])
+    vals = np.concatenate([pw, np.ones(crows.size)])
+    return CsrMatrix.from_coo(rows, cols, vals, nrows=n, ncols=ncoarse,
+                              sum_duplicates=True)
+
+
+def classical_coarsen(A: CsrMatrix, theta: float, seed: int = 0
+                      ) -> tuple[CsrMatrix, int]:
+    """One level of classical AMG coarsening: strength → PMIS → fixup →
+    direct interpolation. Returns (P, n_coarse)."""
+    s_rows, s_cols, s_idx = classical_strength(A, theta)
+    state = pmis_splitting(A.nrows, s_rows, s_cols, seed=seed)
+    state = promote_uninterpolable(state, s_rows, s_cols)
+    if not (state == CPOINT).any():
+        return None, 0  # nothing to coarsen to (fully decoupled grid)
+    P = direct_interpolation(A, s_idx, state)
+    return P, P.ncols

@@ -16,12 +16,12 @@ import numpy as np
 from lsbench_tpu.matrix.csr import CsrMatrix
 
 
-def identity_precond(A: CsrMatrix, dtype):
+def identity_precond(A: CsrMatrix, dtype, **_):
     del A
     return None, lambda state, r: r
 
 
-def jacobi_precond(A: CsrMatrix, dtype):
+def jacobi_precond(A: CsrMatrix, dtype, **_):
     """z = D^{-1} r. Safe for zero diagonals (falls back to identity rows)."""
     d = A.diagonal()
     inv = np.where(d != 0.0, 1.0 / np.where(d == 0.0, 1.0, d), 1.0)
@@ -60,9 +60,18 @@ def block_jacobi_precond(A: CsrMatrix, dtype, block_size: int = 32):
     return inv_blocks, apply
 
 
-def _amg_precond(A: CsrMatrix, dtype):
+def _amg_precond(A: CsrMatrix, dtype, **amg_params):
     from lsbench_tpu.solvers.amg import amg_precond
-    return amg_precond(A, dtype)
+    return amg_precond(A, dtype, **amg_params)
+
+
+def _amg_classical_precond(A: CsrMatrix, dtype, **amg_params):
+    """Classical-AMG (PMIS + direct interp) V-cycle — the Hypre/AmgX-family
+    preconditioner (hypre.c:126-188)."""
+    amg_params.setdefault("coarsening", "classical")
+    amg_params.setdefault("theta", 0.25)
+    from lsbench_tpu.solvers.amg import amg_precond
+    return amg_precond(A, dtype, **amg_params)
 
 
 PRECONDITIONERS = {
@@ -70,6 +79,7 @@ PRECONDITIONERS = {
     "jacobi": jacobi_precond,
     "block_jacobi": block_jacobi_precond,
     "amg": _amg_precond,
+    "amg_classical": _amg_classical_precond,
 }
 
 
