@@ -11,13 +11,12 @@ CLI surface intact.
 
 from __future__ import annotations
 
-import sys
-
 import numpy as np
 
 from lsbench_tpu.matrix.csr import CsrMatrix
 from lsbench_tpu.ordering.rcm import rcm_ordering
 from lsbench_tpu.ordering.amd import amd_ordering
+from lsbench_tpu.ordering.nd import nd_ordering
 
 
 def get_ordering(name: str, A: CsrMatrix) -> np.ndarray:
@@ -30,11 +29,10 @@ def get_ordering(name: str, A: CsrMatrix) -> np.ndarray:
         return rcm_ordering(A)
     if name == "amd":
         return amd_ordering(A)
-    if name == "metis":
-        print("METIS ordering not implemented natively; using AMD.",
-              file=sys.stderr)
-        return amd_ordering(A)
+    if name in ("metis", "nd"):
+        # Native nested dissection fills the METIS role (cusparse.c:75-79).
+        return nd_ordering(A)
     raise KeyError(f"unknown ordering '{name}'")
 
 
-__all__ = ["get_ordering", "rcm_ordering", "amd_ordering"]
+__all__ = ["get_ordering", "rcm_ordering", "amd_ordering", "nd_ordering"]

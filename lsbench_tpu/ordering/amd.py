@@ -19,8 +19,12 @@ from lsbench_tpu.ordering.rcm import _symmetrized_graph
 
 def amd_ordering(A: CsrMatrix) -> np.ndarray:
     """Permutation p (new index i holds old row p[i]) by minimum degree."""
-    n = A.nrows
     offs, cols = _symmetrized_graph(A)
+    return min_degree_graph(offs, cols, A.nrows)
+
+
+def min_degree_graph(offs: np.ndarray, cols: np.ndarray, n: int) -> np.ndarray:
+    """Minimum-degree ordering of an adjacency graph (no self loops)."""
     adj: list[set[int]] = [set(cols[offs[i]:offs[i + 1]].tolist())
                            for i in range(n)]
     heap = [(len(adj[i]), i) for i in range(n)]

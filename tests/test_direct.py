@@ -23,7 +23,24 @@ def test_cholesky_exact_diag(tiny_matrix_file):
                                rtol=1e-12)
 
 
-@pytest.mark.parametrize("ordering", ["none", "rcm", "amd"])
+def test_nd_ordering_reduces_fill():
+    # Native nested dissection (the METIS role, cusparse.c:75-79) must cut
+    # Cholesky fill well below the natural ordering and stay in AMD's class.
+    from lsbench_tpu.ordering import get_ordering
+    A = poisson_2d(24)
+
+    def fill(perm):
+        L = np.linalg.cholesky(A.permuted(perm).to_dense())
+        return int((np.abs(L) > 1e-12).sum())
+
+    f_none = fill(get_ordering("none", A))
+    f_amd = fill(get_ordering("amd", A))
+    f_nd = fill(get_ordering("metis", A))
+    assert f_nd < 0.6 * f_none
+    assert f_nd < 1.5 * f_amd
+
+
+@pytest.mark.parametrize("ordering", ["none", "rcm", "amd", "metis"])
 def test_cholesky_poisson(ordering):
     A = poisson_2d(14)
     b = make_rhs(A.nrows)
