@@ -13,8 +13,8 @@ numeric factorization is a dense blocked Cholesky on the MXU via XLA's
 native `lax.linalg.cholesky`, and each timed solve is two dense triangular
 solves. Dense storage is O(n²) — right-sized for the reference workload
 (n ≤ 6.4k ⇒ ≤ 330 MB f64) and guarded above `max_dense_n`, where the
-mixed-precision Krylov path (cg_ir) is the intended alternative. A sparse
-supernodal factorization is the planned upgrade.
+sparse level-scheduled path (solvers/sparse_cholesky.py) or the
+mixed-precision Krylov path (cg_ir) take over.
 """
 
 from __future__ import annotations
@@ -38,7 +38,8 @@ class CholeskySolver(Solver):
             raise ValueError("Cholesky requires a square matrix")
         if A.nrows > max_dense_n:
             raise ValueError(
-                f"dense Cholesky guard: n={A.nrows} > {max_dense_n}; use the "
+                f"dense Cholesky guard: n={A.nrows} > {max_dense_n}; use "
+                "sparse_cholesky (level-scheduled direct) or the "
                 "mixed-precision Krylov solver (cg_ir) for matrices this size")
         self.dtype = jnp.dtype(dtype)
         self.refactor = bool(refactor_each_solve)

@@ -1,0 +1,338 @@
+"""Sparse direct Cholesky — the scalable CHOLMOD-role path.
+
+The reference's default backend factors on the host CPU (CHOLMOD with
+`useGPU=0`, cholmod.c:68) after a fill-reducing ordering chosen inside
+`analyze` (cholmod-impl.h:25), then times only the triangular solves
+(cholmod-impl.h:44-63). This module mirrors that split natively:
+
+- host symbolic phase: elimination tree (Liu's algorithm with path
+  compression), per-row fill pattern by etree reach;
+- host numeric phase: left-looking sparse column Cholesky over the exact
+  fill pattern (flat CSC arrays, vectorized column updates);
+- device solve phase (the timed region): level-scheduled triangular solves
+  — rows grouped into dependency levels of the L / Lᵀ DAGs, one padded
+  gather/FMA/scatter step per level inside a `lax.scan`. Static shapes,
+  no data-dependent control flow (XLA-friendly by construction).
+
+The dense MXU Cholesky (solvers/direct.py) remains the faster choice at
+reference scale (n ≤ ~10⁴ dense fits comfortably); this path removes the
+O(n²) memory wall for larger problems.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lsbench_tpu.matrix.csr import CsrMatrix
+from lsbench_tpu.solvers.base import SolveResult, Solver, register_solver
+
+
+# ----------------------------------------------------------- symbolic phase
+
+def elimination_tree(A: CsrMatrix) -> np.ndarray:
+    """Liu's etree with path compression; A square, pattern symmetric."""
+    n = A.nrows
+    parent = np.full(n, -1, dtype=np.int64)
+    ancestor = np.full(n, -1, dtype=np.int64)
+    offs, cols = A.offs, A.cols
+    for i in range(n):
+        for k in cols[offs[i]:offs[i + 1]]:
+            k = int(k)
+            if k >= i:
+                continue
+            # Walk up the (compressed) ancestor chain from k to i.
+            while True:
+                a = ancestor[k]
+                ancestor[k] = i
+                if a == -1:
+                    if parent[k] == -1:
+                        parent[k] = i
+                    break
+                if a == i:
+                    break
+                k = a
+    return parent
+
+
+def symbolic_rows(A: CsrMatrix, parent: np.ndarray
+                  ) -> tuple[np.ndarray, np.ndarray]:
+    """Fill pattern of L by rows (strictly-lower part), via etree reach:
+    row i's pattern is the union of paths k→…→i in the etree for each
+    k < i with A[i,k] ≠ 0. Returns CSR-style (offs, cols), cols ascending."""
+    n = A.nrows
+    offs, cols = A.offs, A.cols
+    mark = np.full(n, -1, dtype=np.int64)
+    rows: list[np.ndarray] = []
+    counts = np.zeros(n + 1, dtype=np.int64)
+    for i in range(n):
+        pat = []
+        for k in cols[offs[i]:offs[i + 1]]:
+            k = int(k)
+            if k >= i:
+                continue
+            while k != -1 and k < i and mark[k] != i:
+                mark[k] = i
+                pat.append(k)
+                k = int(parent[k])
+        p = np.sort(np.asarray(pat, dtype=np.int64))
+        rows.append(p)
+        counts[i + 1] = p.size
+    loffs = np.cumsum(counts)
+    lcols = (np.concatenate(rows) if loffs[-1] else
+             np.zeros(0, dtype=np.int64))
+    return loffs, lcols
+
+
+# ------------------------------------------------------------ numeric phase
+
+def symmetrize(A: CsrMatrix) -> CsrMatrix:
+    """(A + Aᵀ)/2 — the operator the direct path factorizes, equivalent to
+    CHOLMOD's one-triangle stype=-1 build (cholmod-impl.h:5-18)."""
+    r, c, v = A.to_coo()
+    return CsrMatrix.from_coo(np.concatenate([r, c]), np.concatenate([c, r]),
+                              np.concatenate([v, v]) * 0.5,
+                              nrows=A.nrows, ncols=A.ncols)
+
+
+def numeric_factor(A: CsrMatrix, loffs: np.ndarray, lcols: np.ndarray
+                   ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Left-looking column Cholesky over the symbolic pattern.
+
+    `A` must be symmetric (use `symmetrize` first); returns CSC arrays
+    (cp, ci, cx) of L including the diagonal, rows ascending within each
+    column. Column j's initial values come from A's row-j slice at
+    cols ≥ j (equal to the lower column by symmetry).
+    """
+    n = A.nrows
+    # CSC pattern of L (incl. diagonal): column j holds {j} ∪ {i : j ∈ row_i}.
+    col_counts = np.ones(n, dtype=np.int64)
+    np.add.at(col_counts, lcols, 1)
+    cp = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(col_counts, out=cp[1:])
+    ci = np.empty(cp[-1], dtype=np.int64)
+    fill_pos = cp[:-1].copy()
+    ci[fill_pos] = np.arange(n)  # diagonal first in each column
+    fill_pos += 1
+    row_of = np.repeat(np.arange(n), np.diff(loffs))
+    # Rows arrive in ascending i per column because we scan i in order.
+    for i, j in zip(row_of, lcols):
+        ci[fill_pos[j]] = i
+        fill_pos[j] += 1
+    cx = np.zeros(cp[-1])
+
+    # Dense accumulator for the current column.
+    w = np.zeros(n)
+    sym = A
+
+    # Row-pattern cursor: for the left-looking update of column j we need
+    # the ks with L[j,k] != 0, i.e. row j's symbolic pattern.
+    for j in range(n):
+        pj = ci[cp[j]:cp[j + 1]]          # rows ≥ j of column j (asc)
+        w[pj] = 0.0
+        sl = slice(sym.offs[j], sym.offs[j + 1])
+        ac, av = sym.cols[sl], sym.vals[sl]
+        low = ac >= j
+        w[ac[low]] = av[low]
+        for t in range(loffs[j], loffs[j + 1]):
+            k = lcols[t]
+            ck = ci[cp[k]:cp[k + 1]]
+            # Entries of column k with row ≥ j (rows ascending).
+            s = int(np.searchsorted(ck, j))
+            ljk = cx[cp[k] + s]            # L[j,k] (row j present by pattern)
+            w[ck[s:]] -= ljk * cx[cp[k] + s: cp[k + 1]]
+        dj = w[j]
+        if dj <= 0.0:
+            raise np.linalg.LinAlgError(
+                f"matrix not positive definite at column {j} (d={dj:.3e})")
+        dj = np.sqrt(dj)
+        vals = w[pj] / dj
+        vals[0] = dj
+        cx[cp[j]:cp[j + 1]] = vals
+    return cp, ci, cx
+
+
+# ---------------------------------------------------- device solve schedule
+
+def _level_schedule(n, row_offs, row_cols):
+    """Dependency levels for a lower-triangular solve: level[i] =
+    1 + max(level[j]) over js row i references (0 if none)."""
+    level = np.zeros(n, dtype=np.int64)
+    for i in range(n):
+        js = row_cols[row_offs[i]:row_offs[i + 1]]
+        if js.size:
+            level[i] = level[js].max() + 1
+    return level
+
+
+def _pack_levels(n, row_offs, row_cols, row_vals, diag, level, dtype):
+    """Flatten the ragged (level → rows → nnz) structure into scan-ready
+    flat-per-level arrays (one segment-sum per level, not [R,K] padding):
+      rows [L,R]  — row ids this level solves (pad → dummy slot n)
+      slot [L,T]  — within-level segment id of each nnz (pad → R)
+      cols [L,T], vals [L,T] — off-diagonal entries (pad → col n, val 0)
+      dinv [L,R]  — 1/diag of each row
+    T = max total nnz in any level, so memory is O(nnz + L·max_level_nnz),
+    not O(L·R·K). Fully vectorized packing."""
+    nlev = int(level.max()) + 1 if n else 1
+    lens = np.diff(row_offs)
+    order = np.argsort(level, kind="stable")
+    lvl_sorted = level[order]
+    counts = np.bincount(lvl_sorted, minlength=nlev)
+    R = max(1, int(counts.max()))
+    level_start = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    slot_of_row = np.arange(n) - level_start[lvl_sorted]
+
+    lens_sorted = lens[order]
+    level_nnz = np.zeros(nlev, dtype=np.int64)
+    np.add.at(level_nnz, lvl_sorted, lens_sorted)
+    T = max(1, int(level_nnz.max()))
+    nnz_cum = np.cumsum(lens_sorted) - lens_sorted      # global excl. cumsum
+    level_nnz_start = np.zeros(nlev, dtype=np.int64)
+    np.cumsum(level_nnz, out=level_nnz_start[:])        # inclusive
+    level_nnz_start = np.concatenate([[0], level_nnz_start[:-1]])
+    t_off = nnz_cum - level_nnz_start[lvl_sorted]       # within-level offset
+
+    total = int(lens_sorted.sum())
+    intra = np.arange(total) - np.repeat(nnz_cum, lens_sorted)
+    dest = np.repeat(lvl_sorted * T + t_off, lens_sorted) + intra
+    src = np.repeat(row_offs[order], lens_sorted) + intra
+
+    rows = np.full((nlev, R), n, dtype=np.int32)
+    dinv = np.zeros((nlev, R))
+    rows[lvl_sorted, slot_of_row] = order
+    dinv[lvl_sorted, slot_of_row] = 1.0 / diag[order]
+
+    cols = np.full(nlev * T, n, dtype=np.int32)
+    vals = np.zeros(nlev * T)
+    slot = np.full(nlev * T, R, dtype=np.int32)
+    cols[dest] = row_cols[src]
+    vals[dest] = row_vals[src]
+    slot[dest] = np.repeat(slot_of_row, lens_sorted)
+
+    return (jnp.asarray(rows), jnp.asarray(slot.reshape(nlev, T)),
+            jnp.asarray(cols.reshape(nlev, T)),
+            jnp.asarray(vals.reshape(nlev, T), dtype=dtype),
+            jnp.asarray(dinv, dtype=dtype),
+            nlev * T, R)
+
+
+def build_level_solver(cp, ci, cx, n, dtype):
+    """Return jitted x = solve(b) applying L then Lᵀ by level schedule."""
+    # Row-wise strictly-lower CSR of L from CSC.
+    row_of = ci
+    col_of = np.repeat(np.arange(n), np.diff(cp))
+    off_diag = row_of != col_of
+    r, c, v = row_of[off_diag], col_of[off_diag], cx[off_diag]
+    diag = cx[cp[:-1]]
+
+    order = np.lexsort((c, r))
+    r, c, v = r[order], c[order], v[order]
+    roffs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(np.bincount(r, minlength=n), out=roffs[1:])
+
+    lev_f = _level_schedule(n, roffs, c)
+    packed_f = _pack_levels(n, roffs, c, v, diag, lev_f, dtype)
+
+    # Backward solve rows: row i of Lᵀ references j > i where L[j,i] ≠ 0 —
+    # i.e. the CSC column i of L minus the diagonal.
+    uoffs = np.zeros(n + 1, dtype=np.int64)
+    ucols = np.empty(r.size, dtype=np.int64)
+    uvals = np.empty(r.size)
+    # Column-major (already CSC): column i entries are rows > i.
+    np.cumsum(np.bincount(col_of[off_diag], minlength=n), out=uoffs[1:])
+    ord_u = np.lexsort((row_of[off_diag], col_of[off_diag]))
+    ucols = row_of[off_diag][ord_u]
+    uvals = cx[off_diag][ord_u]
+    # Levels must respect reverse dependencies (row i needs rows j > i).
+    lev_b = np.zeros(n, dtype=np.int64)
+    for i in range(n - 1, -1, -1):
+        js = ucols[uoffs[i]:uoffs[i + 1]]
+        if js.size:
+            lev_b[i] = lev_b[js].max() + 1
+    packed_b = _pack_levels(n, uoffs, ucols, uvals, diag, lev_b, dtype)
+
+    def sweep(packed, b):
+        rows, slot, cols, vals, dinv, _, R = packed
+
+        def step(x, lv):
+            rw, sl, cl, vl, di = lv
+            contrib = vl * x[cl]
+            s = jax.ops.segment_sum(contrib, sl, num_segments=R + 1,
+                                    indices_are_sorted=True)[:R]
+            xi = (b[rw] - s) * di
+            return x.at[rw].set(xi), None
+
+        x0 = jnp.zeros(n + 1, dtype=b.dtype)
+        x, _ = jax.lax.scan(step, x0, (rows, slot, cols, vals, dinv))
+        return x[:n]
+
+    @jax.jit
+    def solve(b):
+        b = b.astype(dtype)
+        bp = jnp.concatenate([b, jnp.zeros(1, dtype)])
+        y = sweep(packed_f, bp)
+        yp = jnp.concatenate([y, jnp.zeros(1, dtype)])
+        return sweep(packed_b, yp)
+
+    waste = (packed_f[5] + packed_b[5]) / max(1, 2 * (r.size + n))
+    return solve, int(lev_f.max()) + 1, int(lev_b.max()) + 1, waste
+
+
+# ------------------------------------------------------------------- solver
+
+@register_solver("sparse_cholesky")
+class SparseCholeskySolver(Solver):
+    """Host symbolic+numeric sparse Cholesky (CHOLMOD's CPU split,
+    cholmod.c:68) with device level-scheduled triangular solves."""
+
+    def __init__(self, A: CsrMatrix, dtype=jnp.float64, ordering="amd",
+                 **params):
+        super().__init__(A, **params)
+        if A.nrows != A.ncols:
+            raise ValueError("Cholesky requires a square matrix")
+        self.dtype = jnp.dtype(dtype)
+        self.ordering = ordering
+        n = A.nrows
+
+        from lsbench_tpu.ordering import get_ordering
+        perm = get_ordering(ordering, A)
+        identity = bool(np.all(perm == np.arange(n)))
+        Ap = A if identity else A.permuted(perm)
+        self._perm = None if identity else jnp.asarray(perm)
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(n)
+        self._inv = None if identity else jnp.asarray(inv)
+
+        As = symmetrize(Ap)
+        parent = elimination_tree(As)
+        loffs, lcols = symbolic_rows(As, parent)
+        cp, ci, cx = numeric_factor(As, loffs, lcols)
+        self.fill_nnz = int(cp[-1])
+        solve, self.n_levels_f, self.n_levels_b, self.pad_waste = \
+            build_level_solver(cp, ci, cx, n, self.dtype)
+
+        perm_dev, inv_dev = self._perm, self._inv
+
+        @jax.jit
+        def _solve(b):
+            bp = b if perm_dev is None else b[perm_dev]
+            x = solve(bp.astype(dtype))
+            return x if inv_dev is None else x[inv_dev]
+
+        self._jit_solve = _solve
+
+    def solve(self, b) -> SolveResult:
+        b = jnp.asarray(b)
+        x = self._jit_solve(b)
+        relres = self.residual_norm(x, b) / max(
+            float(np.linalg.norm(np.asarray(b))), 1e-300)
+        return SolveResult(x=x, iters=1, relres=relres,
+                           converged=bool(np.isfinite(relres)),
+                           extra={"fill_nnz": self.fill_nnz,
+                                  "levels": (self.n_levels_f,
+                                             self.n_levels_b)})
+
+    def solve_fn(self):
+        return self._jit_solve

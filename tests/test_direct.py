@@ -85,3 +85,41 @@ def test_dense_guard():
     A = random_spd(64, seed=0)
     with pytest.raises(ValueError, match="cg_ir"):
         make("cholesky", A, max_dense_n=32)
+
+
+# -------------------------------------------- sparse (level-scheduled) path
+
+def test_sparse_cholesky_factor_matches_dense():
+    from lsbench_tpu.solvers.sparse_cholesky import (
+        elimination_tree, numeric_factor, symbolic_rows, symmetrize)
+    A = symmetrize(poisson_2d(10))
+    parent = elimination_tree(A)
+    loffs, lcols = symbolic_rows(A, parent)
+    cp, ci, cx = numeric_factor(A, loffs, lcols)
+    n = A.nrows
+    L = np.zeros((n, n))
+    L[ci, np.repeat(np.arange(n), np.diff(cp))] = cx
+    np.testing.assert_allclose(L @ L.T, A.to_dense(), atol=1e-12)
+    # Symbolic fill bounds the dense-Cholesky fill exactly (no dropping).
+    Ld = np.linalg.cholesky(A.to_dense())
+    assert int((np.abs(Ld) > 1e-14).sum()) <= cp[-1]
+
+
+@pytest.mark.parametrize("ordering", ["none", "amd", "metis"])
+def test_sparse_cholesky_solves(ordering):
+    A = poisson_2d(14)
+    b = make_rhs(A.nrows)
+    s = make("sparse_cholesky", A, ordering=ordering)
+    res = s.solve(b)
+    assert res.relres < 1e-12
+    np.testing.assert_allclose(np.asarray(res.x),
+                               np.linalg.solve(A.to_dense(), b), rtol=1e-8)
+    assert s.pad_waste < 10  # flat level packing keeps memory near O(nnz)
+
+
+def test_sparse_cholesky_matches_dense_path():
+    A = random_spd(200, seed=3)
+    b = make_rhs(200)
+    xd = np.asarray(make("cholesky", A, ordering="amd").solve(b).x)
+    xs = np.asarray(make("sparse_cholesky", A, ordering="amd").solve(b).x)
+    np.testing.assert_allclose(xs, xd, rtol=1e-9, atol=1e-12)
