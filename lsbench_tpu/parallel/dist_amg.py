@@ -1,0 +1,340 @@
+"""Distributed AMG: block-row-sharded V-cycle over a device mesh.
+
+The reference has no working distributed AMG — Hypre is compiled MPI-off
+(libs/hypre.cmake:31) and parAlmond asserts a single rank
+(paralmond.cpp:39). This is the TPU-native design (SURVEY.md §7.6):
+
+- setup on host builds the same hierarchy as the single-chip path
+  (solvers/amg.py `build_matrix_hierarchy` — SA or classical coarsening);
+- every level's operators (A, P, R) are stored as row-sharded padded-row
+  (ELL) blocks over a 1-D mesh; vectors are row-sharded per level;
+- one `all_gather` per operator application moves the source vector; the
+  smoother (Jacobi/Chebyshev) needs no dot products, so a whole V-cycle
+  costs only its matvec gathers — no scalar round-trips;
+- the coarsest system is solved redundantly on every device from a
+  replicated dense Cholesky factor (coarse grids are tiny; redundant
+  compute beats a gather/scatter round-trip — standard practice);
+- `DistributedAmgCg` wraps the cycle as the preconditioner inside the
+  fused-psum CG iteration (one `psum` per iteration for the dots).
+
+Coarse levels are NOT redistributed to fewer devices (each level keeps the
+full mesh; padding absorbs the imbalance) — at reference scale the coarse
+matvecs are latency-bound either way.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from lsbench_tpu.matrix.csr import CsrMatrix
+from lsbench_tpu.parallel.mesh import ROWS
+from lsbench_tpu.solvers.amg import AmgOptions, build_matrix_hierarchy
+from lsbench_tpu.solvers.base import SolveResult, Solver
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _pad_size(n: int, n_dev: int, align: int = 8) -> int:
+    return _round_up(max(1, -(-n // n_dev)), align) * n_dev
+
+
+def _ell_padded(M: CsrMatrix, n_pad: int, dtype):
+    """Row-padded ELL arrays (n_pad, k) with global column ids; padding
+    rows/slots hold val 0 (col 0)."""
+    counts = np.diff(M.offs)
+    k = max(int(counts.max(initial=0)), 1)
+    vals = np.zeros((n_pad, k))
+    cols = np.zeros((n_pad, k), dtype=np.int32)
+    rows_idx = M.row_indices()
+    slot = np.arange(M.nnz) - M.offs[rows_idx]
+    vals[rows_idx, slot] = M.vals
+    cols[rows_idx, slot] = M.cols
+    return jnp.asarray(vals, dtype=dtype), jnp.asarray(cols)
+
+
+class _DistAmgBase(Solver):
+    """Shared setup: sharded hierarchy + in-shard cycle builder."""
+
+    def __init__(self, A: CsrMatrix, mesh: Mesh, dtype=jnp.float64,
+                 theta=None, coarsening="sa", smoother="chebyshev", degree=2,
+                 pre_sweeps=1, post_sweeps=1, coarse_n=64, max_levels=12,
+                 jacobi_scale=4.0 / 3.0, cheby_lower=0.30, **params):
+        super().__init__(A, **params)
+        self.mesh = mesh
+        self.dtype = jnp.dtype(dtype)
+        self.n = A.nrows
+        n_dev = mesh.devices.size
+        self.n_dev = n_dev
+
+        opts = AmgOptions(theta=theta, coarsening=coarsening,
+                          smoother=smoother, degree=degree,
+                          pre_sweeps=pre_sweeps, post_sweeps=post_sweeps,
+                          coarse_n=coarse_n, max_levels=max_levels,
+                          jacobi_scale=jacobi_scale, cheby_lower=cheby_lower)
+        self.opts = opts
+        mats, Acoarse = build_matrix_hierarchy(A, opts)
+        self.n_levels = len(mats) + 1
+
+        sizes = [m["A"].nrows for m in mats] + [Acoarse.nrows]
+        pads = [_pad_size(s, n_dev) for s in sizes]
+        self.n_pad = pads[0]
+        self.pads = pads
+        self.rhos = [float(m["rho"]) for m in mats]
+
+        row2 = NamedSharding(mesh, P(ROWS, None))
+        row1 = NamedSharding(mesh, P(ROWS))
+        rep = NamedSharding(mesh, P(None, None))
+
+        def shard2(x):
+            return jax.device_put(x, row2)
+
+        levels_dev = []
+        levels_spec = []
+        for l, m in enumerate(mats):
+            npf, npc = pads[l], pads[l + 1]
+            av, ac = _ell_padded(m["A"], npf, self.dtype)
+            pv, pc = _ell_padded(m["P"], npf, self.dtype)
+            rv, rc = _ell_padded(m["R"], npc, self.dtype)
+            dinv = np.zeros(npf)
+            dinv[: sizes[l]] = m["dinv"]
+            lvl = dict(av=shard2(av), ac=shard2(ac),
+                       pv=shard2(pv), pc=shard2(pc),
+                       rv=shard2(rv), rc=shard2(rc),
+                       dinv=jax.device_put(
+                           jnp.asarray(dinv, dtype=self.dtype), row1))
+            levels_dev.append(lvl)
+            levels_spec.append(dict(av=P(ROWS, None), ac=P(ROWS, None),
+                                    pv=P(ROWS, None), pc=P(ROWS, None),
+                                    rv=P(ROWS, None), rc=P(ROWS, None),
+                                    dinv=P(ROWS)))
+
+        # Coarsest: replicated dense factor padded with identity rows.
+        npL = pads[-1]
+        dense = Acoarse.to_dense()
+        dense = (dense + dense.T) * 0.5
+        Lc = np.eye(npL)
+        Lc[: sizes[-1], : sizes[-1]] = np.linalg.cholesky(
+            dense + 1e-30 * np.eye(sizes[-1]))
+        self._coarse_L = jax.device_put(jnp.asarray(Lc, dtype=self.dtype), rep)
+        self._levels_dev = levels_dev
+        self._levels_spec = levels_spec
+        self._vec_shard = row1
+
+    # ---- in-shard building blocks (call only inside shard_map) ----
+
+    def _make_cycle(self):
+        opts, rhos = self.opts, self.rhos
+        nloc_L = self.pads[-1] // self.n_dev
+        nlev = self.n_levels - 1
+        import jax.scipy.linalg as jsl
+
+        def matvec(vals_l, cols_l, x_l):
+            xf = jax.lax.all_gather(x_l, ROWS, tiled=True)
+            return jnp.sum(vals_l * xf[cols_l], axis=1)
+
+        def jacobi(L, rho, b_l, x_l):
+            om = jnp.asarray(opts.jacobi_scale / rho, b_l.dtype)
+            for _ in range(opts.degree):
+                x_l = x_l + om * L["dinv"] * (b_l - matvec(L["av"], L["ac"], x_l))
+            return x_l
+
+        def chebyshev(L, rho, b_l, x_l):
+            lmax = 1.1 * rho
+            lmin = opts.cheby_lower * rho
+            theta = jnp.asarray((lmax + lmin) / 2.0, b_l.dtype)
+            delta = jnp.asarray((lmax - lmin) / 2.0, b_l.dtype)
+            sigma = theta / delta
+            rho_k = 1.0 / sigma
+            r = b_l - matvec(L["av"], L["ac"], x_l)
+            d = (L["dinv"] * r) / theta
+            for _ in range(opts.degree - 1):
+                x_l = x_l + d
+                r = r - matvec(L["av"], L["ac"], d)
+                rho_k1 = 1.0 / (2.0 * sigma - rho_k)
+                d = (rho_k1 * rho_k) * d + (2.0 * rho_k1 / delta) * (L["dinv"] * r)
+                rho_k = rho_k1
+            return x_l + d
+
+        smooth = chebyshev if opts.smoother == "chebyshev" else jacobi
+
+        def coarse_solve(coarse_L, b_l):
+            bf = jax.lax.all_gather(b_l, ROWS, tiled=True)
+            y = jsl.solve_triangular(coarse_L, bf, lower=True)
+            xf = jsl.solve_triangular(coarse_L, y, lower=True, trans=1)
+            i = jax.lax.axis_index(ROWS)
+            return jax.lax.dynamic_slice(xf, (i * nloc_L,), (nloc_L,))
+
+        def cycle(levels, coarse_L, lvl, b_l, x_l):
+            if lvl == nlev:
+                return coarse_solve(coarse_L, b_l)
+            L = levels[lvl]
+            for _ in range(opts.pre_sweeps):
+                x_l = smooth(L, rhos[lvl], b_l, x_l)
+            r_l = b_l - matvec(L["av"], L["ac"], x_l)
+            rc_l = matvec(L["rv"], L["rc"], r_l)
+            ec_l = cycle(levels, coarse_L, lvl + 1, rc_l,
+                         jnp.zeros_like(rc_l))
+            x_l = x_l + matvec(L["pv"], L["pc"], ec_l)
+            for _ in range(opts.post_sweeps):
+                x_l = smooth(L, rhos[lvl], b_l, x_l)
+            return x_l
+
+        fine_matvec = matvec
+        return cycle, fine_matvec
+
+    def _pad_b(self, b):
+        b = jnp.asarray(b, dtype=self.dtype)
+        bp = jnp.zeros(self.n_pad, dtype=self.dtype).at[: self.n].set(b)
+        return jax.device_put(bp, self._vec_shard)
+
+
+class DistributedAmg(_DistAmgBase):
+    """Standalone distributed AMG: fixed-cycle (hypre maxiter=k protocol)
+    or converge-to-rtol mode."""
+
+    name = "dist_amg"
+
+    def __init__(self, A: CsrMatrix, mesh: Mesh, cycles=None, rtol=1e-8,
+                 maxiter=100, **kw):
+        super().__init__(A, mesh, **kw)
+        self.cycles = int(cycles) if cycles is not None else None
+        self.rtol = float(rtol)
+        self.maxiter = int(maxiter)
+
+        cycle, matvec = self._make_cycle()
+        spec = (self._levels_spec, P(None, None), P(ROWS))
+        cycles_c, rtol_c, maxiter_c = self.cycles, self.rtol, self.maxiter
+
+        @partial(shard_map, mesh=self.mesh, in_specs=spec,
+                 out_specs=(P(ROWS), P(), P(), P()))
+        def _run(levels, coarse_L, b_l):
+            fine = levels[0]
+            bb = jax.lax.psum(jnp.vdot(b_l, b_l), ROWS)
+            x_l = jnp.zeros_like(b_l)
+            if cycles_c is not None:
+                for _ in range(cycles_c):
+                    x_l = cycle(levels, coarse_L, 0, b_l, x_l)
+                r_l = b_l - matvec(fine["av"], fine["ac"], x_l)
+                rr = jax.lax.psum(jnp.vdot(r_l, r_l), ROWS)
+                return x_l, jnp.sqrt(rr), jnp.sqrt(bb), jnp.int32(cycles_c)
+            tol2 = (rtol_c ** 2) * bb
+
+            def cond(s):
+                _, rr, it = s
+                return jnp.logical_and(it < maxiter_c, rr > tol2)
+
+            def body(s):
+                x, rr, it = s
+                x = cycle(levels, coarse_L, 0, b_l, x)
+                r = b_l - matvec(fine["av"], fine["ac"], x)
+                return (x, jax.lax.psum(jnp.vdot(r, r), ROWS), it + 1)
+
+            x_l, rr, it = jax.lax.while_loop(cond, body, (x_l, bb, jnp.int32(0)))
+            return x_l, jnp.sqrt(rr), jnp.sqrt(bb), it
+
+        self._jit_run = jax.jit(_run)
+
+    def solve(self, b) -> SolveResult:
+        x, rnorm, bnorm, iters = self._jit_run(
+            self._levels_dev, self._coarse_L, self._pad_b(b))
+        rnorm, bnorm = float(rnorm), float(bnorm)
+        relres = rnorm / bnorm if bnorm > 0 else 0.0
+        x_host = np.asarray(x)[: self.n]
+        conv = (True if self.cycles is not None else relres <= self.rtol)
+        return SolveResult(x=x_host, iters=int(iters), relres=relres,
+                           converged=conv,
+                           extra={"levels": self.n_levels,
+                                  "n_devices": self.n_dev})
+
+    def solve_fn(self):
+        lv, cl, pad = self._levels_dev, self._coarse_L, self._pad_b
+        run = self._jit_run
+        return lambda b: run(lv, cl, pad(b))
+
+
+class DistributedAmgCg(_DistAmgBase):
+    """AMG-preconditioned CG over the mesh: one fused psum per iteration
+    for the dots, one V-cycle per iteration as M⁻¹ (parallel/dist_cg.py's
+    iteration with the sharded V-cycle in place of Jacobi)."""
+
+    name = "dist_amg_cg"
+
+    def __init__(self, A: CsrMatrix, mesh: Mesh, rtol=1e-8, maxiter=None,
+                 **kw):
+        super().__init__(A, mesh, **kw)
+        self.rtol = float(rtol)
+        self.maxiter = (int(maxiter) if maxiter is not None
+                        else max(10 * A.nrows, 1000))
+
+        cycle, matvec = self._make_cycle()
+        spec = (self._levels_spec, P(None, None), P(ROWS))
+        rtol_c, maxiter_c = self.rtol, self.maxiter
+
+        @partial(shard_map, mesh=self.mesh, in_specs=spec,
+                 out_specs=(P(ROWS), P(), P()))
+        def _cg(levels, coarse_L, b_l):
+            fine = levels[0]
+
+            def mv(p_l):
+                return matvec(fine["av"], fine["ac"], p_l)
+
+            def precond(r_l):
+                return cycle(levels, coarse_L, 0, r_l, jnp.zeros_like(r_l))
+
+            def fused_psum(*scalars):
+                s = jax.lax.psum(jnp.stack(scalars), ROWS)
+                return tuple(s[i] for i in range(len(scalars)))
+
+            (bb,) = fused_psum(jnp.vdot(b_l, b_l))
+            tol2 = (rtol_c ** 2) * bb
+            x0 = jnp.zeros_like(b_l)
+            r0 = b_l
+            z0 = precond(r0)
+            p0 = z0
+            rz0, rr0 = fused_psum(jnp.vdot(r0, z0), jnp.vdot(r0, r0))
+
+            def cond(s):
+                *_, rr, it = s
+                return jnp.logical_and(it < maxiter_c, rr > tol2)
+
+            def body(s):
+                x, r, p, rz, rr, it = s
+                Ap = mv(p)
+                (pAp,) = fused_psum(jnp.vdot(p, Ap))
+                alpha = rz / pAp
+                x = x + alpha * p
+                r = r - alpha * Ap
+                z = precond(r)
+                rz_new, rr_new = fused_psum(jnp.vdot(r, z), jnp.vdot(r, r))
+                beta = rz_new / rz
+                p = z + beta * p
+                return (x, r, p, rz_new, rr_new, it + 1)
+
+            x, r, p, rz, rr, it = jax.lax.while_loop(
+                cond, body, (x0, r0, p0, rz0, rr0, jnp.int32(0)))
+            return x, jnp.sqrt(rr / jnp.where(bb > 0, bb, 1.0)), it
+
+        self._jit_cg = jax.jit(_cg)
+
+    def solve(self, b) -> SolveResult:
+        x, relres, iters = self._jit_cg(
+            self._levels_dev, self._coarse_L, self._pad_b(b))
+        relres = float(relres)
+        x_host = np.asarray(x)[: self.n]
+        return SolveResult(x=x_host, iters=int(iters), relres=relres,
+                           converged=relres <= self.rtol,
+                           extra={"levels": self.n_levels,
+                                  "n_devices": self.n_dev})
+
+    def solve_fn(self):
+        lv, cl, pad = self._levels_dev, self._coarse_L, self._pad_b
+        run = self._jit_cg
+        return lambda b: run(lv, cl, pad(b))

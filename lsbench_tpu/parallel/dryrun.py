@@ -12,15 +12,27 @@ def run_dryrun(n_devices: int) -> None:
     import jax.numpy as jnp
 
     from lsbench_tpu.matrix.generate import poisson_2d
+    from lsbench_tpu.parallel.dist_amg import DistributedAmgCg
     from lsbench_tpu.parallel.dist_cg import DistributedCg
     from lsbench_tpu.parallel.mesh import make_row_mesh
 
     mesh = make_row_mesh(n_devices)
     A = poisson_2d(8 * max(1, int(np.sqrt(n_devices))))  # tiny but shardable
-    solver = DistributedCg(A, mesh, dtype=jnp.float64, rtol=1e-10)
     b = np.arange(A.nrows, dtype=np.float64)
+
+    # Jacobi-CG: halo/all_gather SpMV + fused-psum iteration.
+    solver = DistributedCg(A, mesh, dtype=jnp.float64, rtol=1e-10)
     res = solver.solve(b)
     x = np.asarray(res.x)
     r = np.linalg.norm(b - A.matvec(x)) / np.linalg.norm(b)
     assert res.converged and r < 1e-8, (res.iters, res.relres, r)
     jax.block_until_ready(res.x)
+
+    # Flagship: AMG-preconditioned CG — every level row-sharded, V-cycle
+    # matvec gathers + one fused psum per iteration.
+    amgcg = DistributedAmgCg(A, mesh, dtype=jnp.float64, rtol=1e-10,
+                             coarse_n=16, max_levels=3)
+    res2 = amgcg.solve(b)
+    x2 = np.asarray(res2.x)
+    r2 = np.linalg.norm(b - A.matvec(x2)) / np.linalg.norm(b)
+    assert res2.converged and r2 < 1e-8, (res2.iters, res2.relres, r2)

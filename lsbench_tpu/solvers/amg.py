@@ -177,35 +177,50 @@ def _coarsen_level(Al: CsrMatrix, opts: AmgOptions, level: int
     return smooth_prolongator(Al, T), nagg
 
 
-def build_hierarchy(A: CsrMatrix, opts: AmgOptions, dtype, layout: str):
-    """Host setup → (levels, coarse_factor). Each level:
-    dict(matvec, P_mv, R_mv, inv_diag, n_fine, n_coarse)."""
-    levels = []
+def build_matrix_hierarchy(A: CsrMatrix, opts: AmgOptions):
+    """Host coarsening loop → (level_mats, A_coarse). Each level entry is
+    dict(A, P, R, dinv, rho) in CSR; A_coarse is the final (direct-solve)
+    operator. Shared by the single-chip and distributed (parallel/dist_amg)
+    builds."""
+    mats = []
     Al = A
-    while (Al.nrows > opts.coarse_n and len(levels) < opts.max_levels):
-        P, nagg = _coarsen_level(Al, opts, len(levels))
+    while (Al.nrows > opts.coarse_n and len(mats) < opts.max_levels):
+        P, nagg = _coarsen_level(Al, opts, len(mats))
         if P is None or nagg >= opts.min_coarsen_ratio * Al.nrows:
             break
         R = P.transpose()
         Ac = rap(R, Al, P)
-
-        mv, _, _ = build_matvec(Al, dtype, layout)
-        pmv, _, _ = build_matvec(P, dtype, layout)
-        rmv, _, _ = build_matvec(R, dtype, layout)
         d = Al.diagonal()
         dinv = 1.0 / np.where(d != 0, d, 1.0)
-        inv_diag = jnp.asarray(dinv, dtype=dtype)
         # Smoother spectral bound: ρ(D⁻¹A) per level (power iteration).
         rho = estimate_rho_dinv_a(Al, dinv)
-        levels.append(dict(matvec=mv, P_mv=pmv, R_mv=rmv, inv_diag=inv_diag,
-                           rho=rho, n_fine=Al.nrows, n_coarse=nagg))
+        mats.append(dict(A=Al, P=P, R=R, dinv=dinv, rho=rho))
         Al = Ac
+    return mats, Al
 
+
+def coarse_cholesky(Al: CsrMatrix, dtype) -> jax.Array:
+    """Dense factor of the coarsest operator (symmetrized)."""
     dense = Al.to_dense()
     dense = (dense + dense.T) * 0.5
     L = np.linalg.cholesky(dense + 1e-30 * np.eye(Al.nrows))
-    coarse_L = jnp.asarray(L, dtype=dtype)
-    return levels, coarse_L
+    return jnp.asarray(L, dtype=dtype)
+
+
+def build_hierarchy(A: CsrMatrix, opts: AmgOptions, dtype, layout: str):
+    """Host setup → (levels, coarse_factor). Each level:
+    dict(matvec, P_mv, R_mv, inv_diag, n_fine, n_coarse)."""
+    mats, Al = build_matrix_hierarchy(A, opts)
+    levels = []
+    for m in mats:
+        mv, _, _ = build_matvec(m["A"], dtype, layout)
+        pmv, _, _ = build_matvec(m["P"], dtype, layout)
+        rmv, _, _ = build_matvec(m["R"], dtype, layout)
+        levels.append(dict(matvec=mv, P_mv=pmv, R_mv=rmv,
+                           inv_diag=jnp.asarray(m["dinv"], dtype=dtype),
+                           rho=m["rho"], n_fine=m["A"].nrows,
+                           n_coarse=m["P"].ncols))
+    return levels, coarse_cholesky(Al, dtype)
 
 
 # -------------------------------------------------------------- device cycle

@@ -1,0 +1,71 @@
+"""Distributed AMG on a simulated 8-device CPU mesh — golden equality vs
+the single-device hierarchy (SURVEY.md §4 item 3)."""
+
+import jax
+import numpy as np
+import pytest
+
+from lsbench_tpu.matrix.generate import poisson_2d
+from lsbench_tpu.parallel.dist_amg import DistributedAmg, DistributedAmgCg
+from lsbench_tpu.parallel.mesh import make_row_mesh
+from lsbench_tpu.solvers.base import get_solver
+
+from conftest import make_rhs
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    return make_row_mesh(8)
+
+
+def test_dist_amg_converges_matches_single(mesh8):
+    A = poisson_2d(13)  # n=169, not divisible by 8 → exercises padding
+    b = make_rhs(A.nrows)
+    dist = DistributedAmg(A, mesh8, rtol=1e-8, maxiter=60, coarse_n=32)
+    res = dist.solve(b)
+    assert res.converged, (res.iters, res.relres)
+
+    cls, params = get_solver("amg")
+    single = cls(A, rtol=1e-8, maxiter=60, coarse_n=32, **params)
+    res1 = single.solve(b)
+    # Same hierarchy + same cycle math → same iteration count and answer.
+    assert abs(res.iters - res1.iters) <= 1
+    np.testing.assert_allclose(res.x, np.asarray(res1.x), rtol=1e-6,
+                               atol=1e-8)
+
+
+def test_dist_amg_fixed_cycles(mesh8):
+    # The hypre fixed-2-cycle protocol runs distributed too.
+    A = poisson_2d(12)
+    b = make_rhs(A.nrows)
+    res = DistributedAmg(A, mesh8, cycles=2, coarse_n=32).solve(b)
+    assert res.iters == 2
+    assert 0 < res.relres < 1.0
+
+
+def test_dist_amg_cg_matches_single(mesh8):
+    A = poisson_2d(13)
+    b = make_rhs(A.nrows)
+    dist = DistributedAmgCg(A, mesh8, rtol=1e-10, coarse_n=32)
+    res = dist.solve(b)
+    assert res.converged
+    np.testing.assert_allclose(
+        res.x, np.linalg.solve(A.to_dense(), b), rtol=1e-6)
+
+    cls, params = get_solver("cg")
+    single = cls(A, rtol=1e-10, precond="amg",
+                 precond_params=dict(coarse_n=32), **params)
+    res1 = single.solve(b)
+    assert abs(res.iters - res1.iters) <= 2
+
+
+def test_dist_amg_classical_coarsening(mesh8):
+    A = poisson_2d(13)
+    b = make_rhs(A.nrows)
+    res = DistributedAmgCg(A, mesh8, rtol=1e-10, coarsening="classical",
+                           coarse_n=32).solve(b)
+    assert res.converged
+    np.testing.assert_allclose(
+        res.x, np.linalg.solve(A.to_dense(), b), rtol=1e-6)
