@@ -77,6 +77,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="measure the solver's SpMV against the HBM roofline")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of the timed loop into DIR")
+    p.add_argument("--cache", action="store_true",
+                   help="cache setup artifacts (orderings, factors, AMG "
+                        "hierarchies) keyed by matrix hash")
+    p.add_argument("--cache-dir", default=None,
+                   help="setup-cache directory (default ~/.cache/lsbench_tpu)")
     return p
 
 
@@ -119,6 +124,12 @@ def main(argv=None) -> int:
 
     solver_name = _resolve_solver_name(args.solver)
     ordering = _resolve_ordering(args.ordering)
+
+    if args.cache or args.cache_dir:
+        from lsbench_tpu.harness import cache
+        cache.enable(True)
+        if args.cache_dir:
+            cache.set_cache_dir(args.cache_dir)
 
     try:
         A = read_matrix(args.matrix)

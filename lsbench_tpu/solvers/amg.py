@@ -177,11 +177,42 @@ def _coarsen_level(Al: CsrMatrix, opts: AmgOptions, level: int
     return smooth_prolongator(Al, T), nagg
 
 
+def _pack_csr(out: dict, prefix: str, M: CsrMatrix) -> None:
+    out[prefix + "_shape"] = np.asarray(M.shape, dtype=np.int64)
+    out[prefix + "_offs"] = M.offs
+    out[prefix + "_cols"] = M.cols
+    out[prefix + "_vals"] = M.vals
+
+
+def _unpack_csr(z: dict, prefix: str) -> CsrMatrix:
+    nr, nc = (int(v) for v in z[prefix + "_shape"])
+    return CsrMatrix(nr, nc, z[prefix + "_offs"], z[prefix + "_cols"],
+                     z[prefix + "_vals"])
+
+
 def build_matrix_hierarchy(A: CsrMatrix, opts: AmgOptions):
     """Host coarsening loop → (level_mats, A_coarse). Each level entry is
     dict(A, P, R, dinv, rho) in CSR; A_coarse is the final (direct-solve)
     operator. Shared by the single-chip and distributed (parallel/dist_amg)
-    builds."""
+    builds. Cached by matrix hash + coarsening options when the setup
+    cache is enabled (harness/cache.py)."""
+    from lsbench_tpu.harness import cache
+    key = None
+    if cache.is_enabled():
+        key = cache.key_of(cache.fingerprint_csr(A), "amg_hier_v1",
+                           opts.coarsening, opts.theta, opts.coarse_n,
+                           opts.max_levels, opts.min_coarsen_ratio)
+        hit = cache.load_arrays("amg_hier", key)
+        if hit is not None:
+            nlev = int(hit["n_levels"][0])
+            mats = [dict(A=_unpack_csr(hit, f"l{l}_A"),
+                         P=_unpack_csr(hit, f"l{l}_P"),
+                         R=_unpack_csr(hit, f"l{l}_R"),
+                         dinv=hit[f"l{l}_dinv"],
+                         rho=float(hit[f"l{l}_rho"][0]))
+                    for l in range(nlev)]
+            return mats, _unpack_csr(hit, "coarse")
+
     mats = []
     Al = A
     while (Al.nrows > opts.coarse_n and len(mats) < opts.max_levels):
@@ -196,6 +227,17 @@ def build_matrix_hierarchy(A: CsrMatrix, opts: AmgOptions):
         rho = estimate_rho_dinv_a(Al, dinv)
         mats.append(dict(A=Al, P=P, R=R, dinv=dinv, rho=rho))
         Al = Ac
+
+    if key is not None:
+        out = {"n_levels": np.asarray([len(mats)], dtype=np.int64)}
+        for l, m in enumerate(mats):
+            _pack_csr(out, f"l{l}_A", m["A"])
+            _pack_csr(out, f"l{l}_P", m["P"])
+            _pack_csr(out, f"l{l}_R", m["R"])
+            out[f"l{l}_dinv"] = m["dinv"]
+            out[f"l{l}_rho"] = np.asarray([m["rho"]])
+        _pack_csr(out, "coarse", Al)
+        cache.store_arrays("amg_hier", key, out)
     return mats, Al
 
 

@@ -305,10 +305,23 @@ class SparseCholeskySolver(Solver):
         inv[perm] = np.arange(n)
         self._inv = None if identity else jnp.asarray(inv)
 
-        As = symmetrize(Ap)
-        parent = elimination_tree(As)
-        loffs, lcols = symbolic_rows(As, parent)
-        cp, ci, cx = numeric_factor(As, loffs, lcols)
+        from lsbench_tpu.harness import cache
+        key = None
+        if cache.is_enabled():
+            key = cache.key_of(cache.fingerprint_csr(A), ordering, "v1")
+            hit = cache.load_arrays("spchol", key)
+        else:
+            hit = None
+        if hit is not None:
+            cp, ci, cx = hit["cp"], hit["ci"], hit["cx"]
+        else:
+            As = symmetrize(Ap)
+            parent = elimination_tree(As)
+            loffs, lcols = symbolic_rows(As, parent)
+            cp, ci, cx = numeric_factor(As, loffs, lcols)
+            if key is not None:
+                cache.store_arrays("spchol", key,
+                                   {"cp": cp, "ci": ci, "cx": cx})
         self.fill_nnz = int(cp[-1])
         solve, self.n_levels_f, self.n_levels_b, self.pad_waste = \
             build_level_solver(cp, ci, cx, n, self.dtype)
