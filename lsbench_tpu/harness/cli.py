@@ -82,6 +82,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "hierarchies) keyed by matrix hash")
     p.add_argument("--cache-dir", default=None,
                    help="setup-cache directory (default ~/.cache/lsbench_tpu)")
+    p.add_argument("--devices", type=int, default=1,
+                   help="run the solve block-row-sharded over N devices "
+                        "(cg / amg / hypre / amgx / paralmond; use "
+                        "XLA_FLAGS=--xla_force_host_platform_device_count=N "
+                        "with --platform cpu to simulate)")
     return p
 
 
@@ -167,7 +172,12 @@ def main(argv=None) -> int:
         params["precond"] = args.precond
 
     t0 = time.perf_counter()
-    solver = cls(A, **_accepted_params(cls, params))
+    if args.devices > 1:
+        solver = _make_distributed(solver_name, A, args, params)
+        if solver is None:
+            return 1
+    else:
+        solver = cls(A, **_accepted_params(cls, params))
     setup_s = time.perf_counter() - t0
 
     if args.profile_dir:
@@ -199,6 +209,50 @@ def main(argv=None) -> int:
     if args.json or args.verbose >= 1:
         print(json.dumps(rec.to_json()))
     return 0
+
+
+def _make_distributed(solver_name: str, A, args, params):
+    """Map a solver name onto its block-row-sharded implementation."""
+    from lsbench_tpu.parallel.mesh import make_row_mesh
+    try:
+        mesh = make_row_mesh(args.devices)
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
+        return None
+
+    kw = {}
+    if args.rtol is not None:
+        kw["rtol"] = args.rtol
+    if args.maxiter is not None:
+        kw["maxiter"] = args.maxiter
+    dtype = params.get("dtype", "float64")
+    if dtype == "mixed":
+        print("--devices: fp32_ir is single-chip only; use fp64/fp32.",
+              file=sys.stderr)
+        return None
+
+    amg_like = {"amg", "hypre", "amgx", "paralmond"}
+    if solver_name in amg_like:
+        from lsbench_tpu.parallel.dist_amg import DistributedAmg
+        for k in ("cycles", "coarsening", "theta", "cycle"):
+            if k in params and k != "cycle":  # K-cycle is single-chip only
+                kw[k] = params[k]
+        return DistributedAmg(A, mesh, dtype=dtype, **kw)
+    if solver_name in ("cg", "cg_ir") and args.precond in ("amg",
+                                                           "amg_classical"):
+        from lsbench_tpu.parallel.dist_amg import DistributedAmgCg
+        if args.precond == "amg_classical":
+            kw.update(coarsening="classical", theta=0.25)
+        return DistributedAmgCg(A, mesh, dtype=dtype, **kw)
+    if solver_name in ("cg", "cg_ir", "ginkgo"):
+        from lsbench_tpu.parallel.dist_cg import DistributedCg
+        if solver_name == "ginkgo":
+            kw.setdefault("rtol", 1e-4)
+        return DistributedCg(A, mesh, dtype=dtype, **kw)
+    print(f"solver '{solver_name}' has no distributed implementation "
+          "(distributed: cg, ginkgo, amg, hypre, amgx, paralmond).",
+          file=sys.stderr)
+    return None
 
 
 def _accepted_params(cls, params: dict) -> dict:

@@ -61,3 +61,28 @@ def test_read_matrix_uses_native(tiny_matrix_file, monkeypatch):
     from lsbench_tpu.matrix.io import read_matrix
     A = read_matrix(tiny_matrix_file)
     np.testing.assert_allclose(A.to_dense(), np.diag([1.0, 2, 3, 4, 5]))
+
+
+def test_native_min_degree_matches_python():
+    # Quotient-graph C++ min-degree (native/mindeg.cpp) must produce the
+    # exact permutation of the Python clique-update fallback — same exterior
+    # degrees, same (degree, node) tie-break.
+    import numpy as np
+    pytest.importorskip("ctypes")
+    from lsbench_tpu.matrix.generate import poisson_2d, random_spd
+    from lsbench_tpu.native import NativeUnavailable
+    from lsbench_tpu.ordering.amd import min_degree_graph
+    from lsbench_tpu.ordering.rcm import _symmetrized_graph
+
+    try:
+        from lsbench_tpu.native.mindeg import min_degree
+    except NativeUnavailable:
+        pytest.skip("no native toolchain")
+    for A in [poisson_2d(12), random_spd(150, seed=4)]:
+        offs, cols = _symmetrized_graph(A)
+        try:
+            p_native = min_degree(offs, cols, A.nrows)
+        except NativeUnavailable:
+            pytest.skip("no native toolchain")
+        np.testing.assert_array_equal(
+            p_native, min_degree_graph(offs, cols, A.nrows))
