@@ -44,21 +44,23 @@ def _kernel_onehot(x_ref, bcols_ref, blocks_ref, o_ref, *, slots: int):
         o_ref[gl] = jnp.sum(acc, axis=1)
 
 
-def _kernel(idx_ref, x_ref, blocks_ref, o_ref, *, slots: int):
+def _kernel(idx_ref, x_ref, blocks_ref, o_ref, *, slots: int, br: int):
     """GPS row groups per step: o[gl] = sum_s blocks[gl,s] @ x[cols[gl,s]].
 
     idx_ref is the flattened (n_groups*S,) block-column array in SMEM
-    (scalar prefetch); 1-D keeps it unpadded in SMEM.
+    (scalar prefetch); 1-D keeps it unpadded in SMEM. `br` is the block
+    height: taller blocks amortize the per-slot dynamic x load (the
+    dominant cost — ~15 cycles each) over more row FMAs.
     """
     step = pl.program_id(0)
     for gl in range(GPS):
         # Accumulate lane-wise across slots; one cross-lane reduction per
         # group (reductions are the VPU-expensive part).
-        acc = jnp.zeros((BR, BC), dtype=jnp.float32)
+        acc = jnp.zeros((br, BC), dtype=jnp.float32)
         for s in range(slots):  # static unroll; S is small (≤ ~16)
             cb = idx_ref[(step * GPS + gl) * slots + s]
             xb = x_ref[cb, :]                                    # (128,)
-            blk = blocks_ref[gl, s * BR:(s + 1) * BR, :]         # (8,128)
+            blk = blocks_ref[gl, s * br:(s + 1) * br, :]         # (br,128)
             acc = acc + blk * xb[None, :]
         o_ref[gl] = jnp.sum(acc, axis=1)
 
@@ -89,10 +91,10 @@ def _spmv_bsr_onehot_call(block_cols, x_table, blocks, interpret=False):
         )(x_table, block_cols.reshape(-1, 1), blocks)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _spmv_bsr_call(block_cols, x_table, blocks, interpret=False):
+@functools.partial(jax.jit, static_argnames=("br", "interpret"))
+def _spmv_bsr_call(block_cols, x_table, blocks, br=BR, interpret=False):
     n_groups, sb, _ = blocks.shape
-    slots = sb // BR
+    slots = sb // br
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_groups // GPS,),
@@ -104,7 +106,7 @@ def _spmv_bsr_call(block_cols, x_table, blocks, interpret=False):
             pl.BlockSpec((GPS, sb, BC), lambda g, idx: (g, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((GPS, BR), lambda g, idx: (g, 0),
+        out_specs=pl.BlockSpec((GPS, br), lambda g, idx: (g, 0),
                                memory_space=pltpu.VMEM),
     )
     # Trace the kernel with x64 disabled: the library enables x64 globally
@@ -113,11 +115,73 @@ def _spmv_bsr_call(block_cols, x_table, blocks, interpret=False):
     # this only affects internal index constants.
     with jax.enable_x64(False):
         return pl.pallas_call(
-            functools.partial(_kernel, slots=slots),
+            functools.partial(_kernel, slots=slots, br=br),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n_groups, br), jnp.float32),
+            interpret=interpret,
+        )(block_cols.reshape(-1), x_table, blocks)
+
+
+def _kernel_compact(idx_ref, x_ref, blocks_ref, o_ref, *, bps: int):
+    """Exact-block variant: K blocks per step, whole output resident in
+    VMEM, per-block scatter-accumulate into its row group.
+
+    idx_ref (SMEM, scalar prefetch) holds [gids | bcols] flattened; the
+    output is zeroed on step 0 and accumulated across all steps (constant
+    out index_map → block stays resident)."""
+    step = pl.program_id(0)
+    T = idx_ref.shape[0] // 2
+
+    @pl.when(step == 0)
+    def _():
+        o_ref[...] = jnp.zeros_like(o_ref)
+
+    base = step * bps
+    for k in range(bps):
+        cb = idx_ref[T + base + k]
+        xb = x_ref[cb, :]                                    # (128,)
+        part = jnp.sum(blocks_ref[k] * xb[None, :], axis=1)  # (8,)
+        g = idx_ref[base + k]
+        o_ref[g, :] = o_ref[g, :] + part
+
+
+@functools.partial(jax.jit, static_argnames=("n_groups", "interpret"))
+def _spmv_bsr_compact_call(idx, x_table, blocks, n_groups, interpret=False):
+    T, br, _ = blocks.shape
+    bps = 16 if T % 16 == 0 else 8 if T % 8 == 0 else 4 if T % 4 == 0 else 1
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T // bps,),
+        in_specs=[
+            pl.BlockSpec((x_table.shape[0], BC), lambda g, idx: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bps, BR, BC), lambda g, idx: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((n_groups, BR), lambda g, idx: (0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            functools.partial(_kernel_compact, bps=bps),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((n_groups, BR), jnp.float32),
             interpret=interpret,
-        )(block_cols.reshape(-1), x_table, blocks)
+        )(idx, x_table, blocks)
+
+
+def spmv_bsr_compact(A, x: jax.Array, interpret: bool | None = None
+                     ) -> jax.Array:
+    """y = A @ x over the exact-block BsrCompact layout (f32)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_cb = A.n_col_blocks
+    x_pad = jnp.zeros(n_cb * BC, dtype=jnp.float32).at[: A.ncols].set(
+        x.astype(jnp.float32))
+    idx = jnp.concatenate([A.gids, A.bcols])
+    y = _spmv_bsr_compact_call(idx, x_pad.reshape(n_cb, BC), A.blocks,
+                               A.n_groups, interpret=interpret)
+    return y.reshape(-1)[: A.nrows]
 
 
 def spmv_bsr(A: BsrMatrix, x: jax.Array, interpret: bool | None = None,
@@ -138,5 +202,6 @@ def spmv_bsr(A: BsrMatrix, x: jax.Array, interpret: bool | None = None,
         y = _spmv_bsr_onehot_call(A.block_cols, x_table, A.blocks,
                                   interpret=interpret)
     else:
-        y = _spmv_bsr_call(A.block_cols, x_table, A.blocks, interpret=interpret)
+        y = _spmv_bsr_call(A.block_cols, x_table, A.blocks, br=A.br,
+                           interpret=interpret)
     return y.reshape(-1)[: A.nrows]

@@ -48,3 +48,32 @@ def test_amd_is_permutation():
     A = random_spd(200, nnz_per_row=7, seed=10)
     p = amd_ordering(A)
     assert sorted(p.tolist()) == list(range(200))
+
+
+@pytest.mark.parametrize("make", [
+    lambda: random_spd(300, nnz_per_row=9, seed=0),
+    lambda: poisson_2d(17),
+    lambda: random_spd(64, nnz_per_row=3, seed=2),
+])
+def test_spmv_bsr_compact_matches_host(make):
+    from lsbench_tpu.matrix.bsr import BsrCompact
+    from lsbench_tpu.ops.spmv_pallas import spmv_bsr_compact
+    A = make()
+    B = BsrCompact.from_csr(A)
+    x = np.random.default_rng(1).random(A.ncols)
+    y = np.asarray(spmv_bsr_compact(B, jnp.asarray(x)))
+    yref = A.matvec(x)
+    rel = np.abs(y - yref) / (1.0 + np.abs(yref))
+    assert rel.max() < 1e-5
+    # Exact-block layout never streams more than the padded layout.
+    assert B.bytes_streamed <= BsrMatrix.from_csr(A).bytes_streamed
+
+
+def test_bsr_compact_reference_impl():
+    from lsbench_tpu.matrix.bsr import BsrCompact
+    A = poisson_2d(13)
+    B = BsrCompact.from_csr(A)
+    x = np.random.default_rng(2).random(A.ncols)
+    y = np.asarray(B.matvec_reference(jnp.asarray(x)))
+    rel = np.abs(y - A.matvec(x)) / (1.0 + np.abs(A.matvec(x)))
+    assert rel.max() < 1e-5
