@@ -87,6 +87,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "(cg / amg / hypre / amgx / paralmond; use "
                         "XLA_FLAGS=--xla_force_host_platform_device_count=N "
                         "with --platform cpu to simulate)")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans (fail fast on NaN/Inf in any "
+                        "kernel — the sanitizer role, SURVEY.md §5)")
+    p.add_argument("--opt", action="append", default=[], metavar="KEY=VALUE",
+                   help="extra solver parameter (repeatable), e.g. "
+                        "--opt theta=0.5 --opt smoother=jacobi; the "
+                        "reference hardcodes these (hypre.c:126-137)")
     return p
 
 
@@ -136,6 +143,10 @@ def main(argv=None) -> int:
         if args.cache_dir:
             cache.set_cache_dir(args.cache_dir)
 
+    if args.debug_nans:
+        import jax
+        jax.config.update("jax_debug_nans", True)
+
     try:
         A = read_matrix(args.matrix)
     except FileNotFoundError:
@@ -170,6 +181,12 @@ def main(argv=None) -> int:
         params["maxiter"] = args.maxiter
     if args.precond is not None:
         params["precond"] = args.precond
+    for kv in args.opt:
+        if "=" not in kv:
+            print(f"--opt expects KEY=VALUE, got '{kv}'", file=sys.stderr)
+            return 1
+        k, v = kv.split("=", 1)
+        params[k] = _parse_opt_value(v)
 
     t0 = time.perf_counter()
     if args.devices > 1:
@@ -209,6 +226,18 @@ def main(argv=None) -> int:
     if args.json or args.verbose >= 1:
         print(json.dumps(rec.to_json()))
     return 0
+
+
+def _parse_opt_value(v: str):
+    """KEY=VALUE values: int, float, bool, or string."""
+    for cast in (int, float):
+        try:
+            return cast(v)
+        except ValueError:
+            pass
+    if v.lower() in ("true", "false"):
+        return v.lower() == "true"
+    return v
 
 
 def _make_distributed(solver_name: str, A, args, params):

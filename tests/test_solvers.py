@@ -91,3 +91,38 @@ def test_cg_ir_with_bsr_and_rcm():
     s = make("cg_ir", A, rtol=1e-10, layout="bsr", ordering="rcm")
     res = s.solve(b)
     assert res.converged and res.relres <= 1e-10
+
+
+def test_reference_tolerance_both_families(ref_data_dir):
+    # BASELINE north star: reference matrices solved to the direct-solve
+    # tolerance 1e-10 (cusparse.c:184) with the native AMG-CG path.
+    import numpy as np
+    from lsbench_tpu.matrix.io import read_matrix
+    from lsbench_tpu.solvers.base import get_solver
+    from conftest import make_rhs
+    for name in ("tj7a_A_18.txt", "xn3b_A_18.txt"):
+        A = read_matrix(ref_data_dir / name)
+        b = make_rhs(A.nrows)
+        cls, params = get_solver("cg")
+        params.update(rtol=1e-10, precond="amg_classical")
+        res = cls(A, **params).solve(b)
+        assert res.converged, (name, res.iters, res.relres)
+        x = np.asarray(res.x)
+        rr = np.linalg.norm(b - A.matvec(x)) / np.linalg.norm(b)
+        assert rr < 1e-9, (name, rr)
+
+
+def test_cli_opt_passthrough(tiny_matrix_file, capsys):
+    from lsbench_tpu.harness.cli import main
+    rc = main(["--matrix", str(tiny_matrix_file), "--solver", "cg",
+               "--trials", "2", "--opt", "precond=none", "--platform", "cpu"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "cg" in out
+
+
+def test_cli_opt_bad_value(tiny_matrix_file, capsys):
+    from lsbench_tpu.harness.cli import main
+    rc = main(["--matrix", str(tiny_matrix_file), "--opt", "nonsense",
+               "--platform", "cpu"])
+    assert rc == 1
