@@ -278,8 +278,11 @@ def _make_distributed(solver_name: str, A, args, params):
         if solver_name == "ginkgo":
             kw.setdefault("rtol", 1e-4)
         return DistributedCg(A, mesh, dtype=dtype, **kw)
+    if solver_name == "gmres":
+        from lsbench_tpu.parallel.dist_gmres import DistributedGmres
+        return DistributedGmres(A, mesh, dtype=dtype, **kw)
     print(f"solver '{solver_name}' has no distributed implementation "
-          "(distributed: cg, ginkgo, amg, hypre, amgx, paralmond).",
+          "(distributed: cg, gmres, ginkgo, amg, hypre, amgx, paralmond).",
           file=sys.stderr)
     return None
 

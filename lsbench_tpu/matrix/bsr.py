@@ -46,9 +46,11 @@ class BsrMatrix:
     nnz: int
     br: int = BR            # rows per block (8/16/32: taller blocks trade
     #                         streamed padding for fewer dynamic x loads)
+    sel: jax.Array | None = None  # (n_groups*S, n_col_blocks) one-hot f32
+    #                               gather selector (the MXU-gather variant)
 
     def tree_flatten(self):
-        return ((self.blocks, self.block_cols),
+        return ((self.blocks, self.block_cols, self.sel),
                 (self.nrows, self.ncols, self.nnz, self.br))
 
     @classmethod
@@ -115,10 +117,19 @@ class BsrMatrix:
         rs, cs, vs = r[order], c[order], v[order]
         blocks[ugr[pr], slot_of_pair[pr] * BRl + (rs % BRl), cs % BC] = vs
 
+        # One-hot gather selector: row t selects x_table[block_cols_flat[t]].
+        # 0/1 values, so f32 is exact; DMA cost is S/(BRl·C) of the blocks
+        # (~5% at reference scale).
+        C = _round_up(A.ncols, BC) // BC
+        flat_cols = block_cols.reshape(-1)
+        sel = np.zeros((flat_cols.size, max(C, 1)), dtype=np.float32)
+        sel[np.arange(flat_cols.size), flat_cols] = 1.0
+
         return BsrMatrix(
             blocks=jnp.asarray(blocks, dtype=dtype),
             block_cols=jnp.asarray(block_cols),
-            nrows=A.nrows, ncols=A.ncols, nnz=A.nnz, br=BRl)
+            nrows=A.nrows, ncols=A.ncols, nnz=A.nnz, br=BRl,
+            sel=jnp.asarray(sel))
 
     def matvec(self, x: jax.Array) -> jax.Array:
         from lsbench_tpu.ops.spmv_pallas import spmv_bsr
@@ -138,6 +149,25 @@ class BsrMatrix:
         gathered = xb[self.block_cols]                      # (G, S, 128)
         blk = self.blocks.reshape(self.n_groups, self.slots, self.br, BC)
         y = jnp.einsum("gsrc,gsc->gr", blk, gathered)
+        return y.reshape(-1)[: self.nrows]
+
+    def matvec_xla(self, x: jax.Array) -> jax.Array:
+        """Gather-free XLA SpMV: the x gather is the selector matmul (two
+        dense contractions total — both MXU-lowerable at any dtype,
+        including emulated f64). This is the fast *FP64* TPU path: element
+        gathers cost ~20 ns each on TPU, so the reference-precision
+        protocol (lsbench.c:140-141) would otherwise be gather-bound."""
+        dt = x.dtype
+        x_pad = jnp.zeros(self.n_col_blocks * BC, dt).at[: self.ncols].set(x)
+        xb = x_pad.reshape(self.n_col_blocks, BC)
+        # HIGHEST precision: TPU matmuls default to bf16 operand rounding.
+        hp = jax.lax.Precision.HIGHEST
+        g = jnp.matmul(self.sel.astype(dt), xb, precision=hp)  # (G*S, 128)
+        blk = self.blocks.astype(dt).reshape(
+            self.n_groups, self.slots, self.br, BC)
+        y = jnp.einsum("gsrc,gsc->gr", blk,
+                       g.reshape(self.n_groups, self.slots, BC),
+                       precision=hp)
         return y.reshape(-1)[: self.nrows]
 
 

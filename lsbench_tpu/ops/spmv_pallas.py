@@ -122,6 +122,58 @@ def _spmv_bsr_call(block_cols, x_table, blocks, br=BR, interpret=False):
         )(block_cols.reshape(-1), x_table, blocks)
 
 
+def _kernel_selector(x_ref, sel_ref, blocks_ref, o_ref, *, slots: int,
+                     br: int):
+    """Selector variant: the x gather is ONE MXU matmul against a
+    host-precomputed one-hot selector (0/1 matrix, static per layout) —
+    g[t] = x_table[block_cols[t]]. Everything else is static slices, so
+    nothing blocks on the scalar unit (the dynamic x_ref[cb,:] loads are
+    what pin the prefetch variant at ~20 ns/slot)."""
+    # HIGHEST precision: TPU matmuls default to bf16 operand rounding,
+    # which silently costs ~3 digits on the gathered x (the root cause of
+    # the "onehot variant incorrect on v5e" note — selector rows are exact
+    # 0/1, but x gets rounded).
+    g = jax.lax.dot_general(
+        sel_ref[:], x_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    for gl in range(GPS):
+        acc = jnp.zeros((br, BC), dtype=jnp.float32)
+        for s in range(slots):
+            xb = g[gl * slots + s]                           # static row
+            blk = blocks_ref[gl, s * br:(s + 1) * br, :]     # (br,128)
+            acc = acc + blk * xb[None, :]
+        o_ref[gl] = jnp.sum(acc, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("br", "interpret"))
+def _spmv_bsr_selector_call(selector, x_table, blocks, br=BR,
+                            interpret=False):
+    n_groups, sb, _ = blocks.shape
+    slots = sb // br
+    T = GPS * slots
+    grid_spec = pl.GridSpec(
+        grid=(n_groups // GPS,),
+        in_specs=[
+            pl.BlockSpec((x_table.shape[0], BC), lambda g: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, selector.shape[1]), lambda g: (g, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GPS, sb, BC), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((GPS, br), lambda g: (g, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            functools.partial(_kernel_selector, slots=slots, br=br),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n_groups, br), jnp.float32),
+            interpret=interpret,
+        )(x_table, selector, blocks)
+
+
 def _kernel_compact(idx_ref, x_ref, blocks_ref, o_ref, *, bps: int):
     """Exact-block variant: K blocks per step, whole output resident in
     VMEM, per-block scatter-accumulate into its row group.
@@ -194,11 +246,17 @@ def spmv_bsr(A: BsrMatrix, x: jax.Array, interpret: bool | None = None,
         x.astype(jnp.float32))
     x_table = x_pad.reshape(n_cb, BC)
     if variant == "auto":
-        # "onehot" (MXU-gather) measured incorrect on v5e hardware (fine in
-        # interpret mode) and no faster; keep the scalar-prefetch kernel
-        # until root-caused.
-        variant = "prefetch"
-    if variant == "onehot":
+        # Selector (host-precomputed one-hot + MXU gather matmul) beats the
+        # scalar-prefetch kernel whenever the selector is available: all
+        # remaining slices are static, so nothing serializes on the scalar
+        # unit. Fall back to prefetch for layouts without a selector.
+        variant = "selector" if A.sel is not None else "prefetch"
+    if variant == "selector":
+        y = _spmv_bsr_selector_call(A.sel, x_table, A.blocks, br=A.br,
+                                    interpret=interpret)
+    elif variant == "onehot":
+        # In-kernel one-hot build: measured incorrect on v5e hardware (fine
+        # in interpret mode); kept for comparison only.
         y = _spmv_bsr_onehot_call(A.block_cols, x_table, A.blocks,
                                   interpret=interpret)
     else:

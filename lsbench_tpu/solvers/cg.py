@@ -71,8 +71,10 @@ def cg_loop(matvec, precond_apply, b, rtol, maxiter, dtype):
 def resolve_layout(layout: str, dtype) -> str:
     if layout != "auto":
         return layout
-    if jnp.dtype(dtype) == jnp.float32 and jax.default_backend() == "tpu":
-        return "bsr"
+    if jax.default_backend() == "tpu":
+        # f32 → Pallas BSR kernel; f64 → gather-free XLA selector SpMV
+        # (TPU element gathers cost ~20ns each; both BSR paths avoid them).
+        return "bsr" if jnp.dtype(dtype) == jnp.float32 else "bsr_xla"
     return "ell"
 
 
@@ -83,6 +85,11 @@ def build_matvec(A: CsrMatrix, dtype, layout: str):
         from lsbench_tpu.ops.spmv_pallas import spmv_bsr
         op = BsrMatrix.from_csr(A, dtype=jnp.float32)
         return (lambda v: spmv_bsr(op, v)), op, op.bytes_streamed
+    if layout == "bsr_xla":
+        from lsbench_tpu.matrix.bsr import BsrMatrix
+        op = BsrMatrix.from_csr(A, dtype=dtype)
+        stream = op.bytes_streamed + op.sel.size * 4
+        return (lambda v: op.matvec_xla(v)), op, stream
     ell = EllMatrix.from_csr(A, dtype=dtype)
     stream = ell.vals.size * (ell.vals.dtype.itemsize + 4)
     return (lambda v: spmv_ell(ell, v)), ell, stream

@@ -77,3 +77,24 @@ def test_bsr_compact_reference_impl():
     y = np.asarray(B.matvec_reference(jnp.asarray(x)))
     rel = np.abs(y - A.matvec(x)) / (1.0 + np.abs(A.matvec(x)))
     assert rel.max() < 1e-5
+
+
+def test_matvec_xla_selector_path():
+    # Gather-free XLA SpMV (fp64 TPU path) matches host at full precision.
+    A = poisson_2d(15)
+    B = BsrMatrix.from_csr(A, dtype=jnp.float64)
+    x = np.random.default_rng(3).random(A.ncols)
+    y = np.asarray(B.matvec_xla(jnp.asarray(x)))
+    np.testing.assert_allclose(y, A.matvec(x), rtol=1e-13, atol=1e-13)
+
+
+def test_cg_bsr_xla_layout():
+    from lsbench_tpu.solvers.base import get_solver
+    A = poisson_2d(13)
+    b = np.arange(A.nrows, dtype=np.float64)
+    cls, params = get_solver("cg")
+    params.update(layout="bsr_xla", rtol=1e-10)
+    res = cls(A, **params).solve(b)
+    assert res.converged
+    np.testing.assert_allclose(np.asarray(res.x),
+                               np.linalg.solve(A.to_dense(), b), rtol=1e-7)

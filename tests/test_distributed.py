@@ -57,3 +57,31 @@ def test_graft_entry_single_chip():
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
+
+
+def test_dist_gmres_matches_single(mesh8):
+    from lsbench_tpu.parallel.dist_gmres import DistributedGmres
+    A = poisson_2d(13)
+    b = make_rhs(A.nrows)
+    dist = DistributedGmres(A, mesh8, rtol=1e-10)
+    res = dist.solve(b)
+    assert res.converged, (res.iters, res.relres)
+    np.testing.assert_allclose(res.x, np.linalg.solve(A.to_dense(), b),
+                               rtol=1e-6)
+    cls, params = get_solver("gmres")
+    res1 = cls(A, rtol=1e-10, **params).solve(b)
+    assert abs(res.iters - res1.iters) <= params.get("restart", 30)
+
+
+def test_dist_gmres_nonsymmetric(mesh8):
+    from lsbench_tpu.parallel.dist_gmres import DistributedGmres
+    rng = np.random.default_rng(5)
+    n = 120
+    from lsbench_tpu.matrix.csr import CsrMatrix
+    a = np.eye(n) * 4 + np.diag(rng.random(n - 1), 1) - np.diag(
+        rng.random(n - 1) * 0.5, -1)
+    A = CsrMatrix.from_dense(a)
+    b = make_rhs(n)
+    res = DistributedGmres(A, mesh8, rtol=1e-10).solve(b)
+    assert res.converged
+    np.testing.assert_allclose(res.x, np.linalg.solve(a, b), rtol=1e-6)
