@@ -273,10 +273,13 @@ def _make_distributed(solver_name: str, A, args, params):
         if args.precond == "amg_classical":
             kw.update(coarsening="classical", theta=0.25)
         return DistributedAmgCg(A, mesh, dtype=dtype, **kw)
-    if solver_name in ("cg", "cg_ir", "ginkgo"):
-        from lsbench_tpu.parallel.dist_cg import DistributedCg
+    if solver_name in ("bicgstab", "ginkgo"):
+        from lsbench_tpu.parallel.dist_bicgstab import DistributedBicgstab
         if solver_name == "ginkgo":
-            kw.setdefault("rtol", 1e-4)
+            kw.setdefault("rtol", 1e-4)  # ginkgo.cpp:61
+        return DistributedBicgstab(A, mesh, dtype=dtype, **kw)
+    if solver_name in ("cg", "cg_ir"):
+        from lsbench_tpu.parallel.dist_cg import DistributedCg
         return DistributedCg(A, mesh, dtype=dtype, **kw)
     if solver_name == "gmres":
         from lsbench_tpu.parallel.dist_gmres import DistributedGmres

@@ -1,0 +1,125 @@
+"""Distributed BiCGSTAB over a block-row mesh — the Ginkgo role, sharded.
+
+Same recurrence as solvers/bicgstab.py (implicit-residual stop at
+rtol × initial, ginkgo.cpp:55-64) with the dist_cg.py distribution: ELL
+block rows + all_gather matvec, Jacobi preconditioner, and the scalar
+reductions fused — two psums per iteration (rho+rr batched with the
+previous iteration's tail where the recurrence allows; here: one psum for
+(rho, rr) and one each for r0·v and (t·t, t·s))."""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from lsbench_tpu.matrix.csr import CsrMatrix
+from lsbench_tpu.parallel.dist_cg import _force_global_cols
+from lsbench_tpu.parallel.dist_spmv import build_halo_plan
+from lsbench_tpu.parallel.mesh import ROWS
+from lsbench_tpu.solvers.base import SolveResult, Solver
+
+
+class DistributedBicgstab(Solver):
+
+    name = "dist_bicgstab"
+
+    def __init__(self, A: CsrMatrix, mesh: Mesh, dtype=jnp.float64,
+                 rtol=1e-4, maxiter=None, row_align: int = 8, **params):
+        super().__init__(A, **params)
+        self.mesh = mesh
+        self.dtype = jnp.dtype(dtype)
+        self.rtol = float(rtol)
+        self.maxiter = (int(maxiter) if maxiter is not None
+                        else max(10 * A.nrows, 1000))
+        n_dev = mesh.devices.size
+
+        plan = build_halo_plan(A, n_dev, self.dtype, row_align=row_align)
+        if not plan.needs_all_gather:
+            plan = _force_global_cols(A, plan)
+        self.n = A.nrows
+        self.n_pad = plan.n_pad
+
+        row_shard = NamedSharding(mesh, P(ROWS, None))
+        vec_shard = NamedSharding(mesh, P(ROWS))
+        self.vec_shard = vec_shard
+        vals = jax.device_put(plan.vals, row_shard)
+        cols = jax.device_put(plan.cols, row_shard)
+        d = np.ones(self.n_pad)
+        diag = A.diagonal()
+        d[: self.n] = np.where(diag != 0.0, diag, 1.0)
+        inv_diag = jax.device_put(jnp.asarray(1.0 / d, dtype=self.dtype),
+                                  vec_shard)
+
+        rtol_c, maxiter_c = self.rtol, self.maxiter
+        dt = self.dtype
+
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(P(ROWS, None), P(ROWS, None), P(ROWS), P(ROWS)),
+                 out_specs=(P(ROWS), P(), P(), P()))
+        def _run(vals_l, cols_l, inv_diag_l, b_l):
+            def matvec(p_l):
+                p_full = jax.lax.all_gather(p_l, ROWS, tiled=True)
+                return jnp.sum(vals_l * p_full[cols_l], axis=1)
+
+            def fused_psum(*scalars):
+                s = jax.lax.psum(jnp.stack(scalars), ROWS)
+                return tuple(s[i] for i in range(len(scalars)))
+
+            r0 = b_l
+            (r0n2,) = fused_psum(jnp.vdot(r0, r0))
+            tol2 = (rtol_c ** 2) * r0n2
+            one = jnp.asarray(1.0, dt)
+            init = (jnp.zeros_like(b_l), r0, jnp.zeros_like(b_l),
+                    jnp.zeros_like(b_l), one, one, one, r0n2, jnp.int32(0))
+
+            def cond(s):
+                *_, rr, it = s
+                return jnp.logical_and(it < maxiter_c, rr > tol2)
+
+            def body(s):
+                x, r, p, v, rho, alpha, omega, rr, it = s
+                (rho_new,) = fused_psum(jnp.vdot(r0, r))
+                beta = (rho_new / rho) * (alpha / omega)
+                p = r + beta * (p - omega * v)
+                ph = inv_diag_l * p
+                v = matvec(ph)
+                (r0v,) = fused_psum(jnp.vdot(r0, v))
+                alpha = rho_new / r0v
+                sv = r - alpha * v
+                sh = inv_diag_l * sv
+                t = matvec(sh)
+                tt, ts = fused_psum(jnp.vdot(t, t), jnp.vdot(t, sv))
+                omega = jnp.where(tt > 0, ts / tt, jnp.zeros_like(tt))
+                x = x + alpha * ph + omega * sh
+                r = sv - omega * t
+                (rr_new,) = fused_psum(jnp.vdot(r, r))
+                return (x, r, p, v, rho_new, alpha, omega, rr_new, it + 1)
+
+            x, r, p, v, rho, alpha, omega, rr, it = jax.lax.while_loop(
+                cond, body, init)
+            return x, jnp.sqrt(rr), jnp.sqrt(r0n2), it
+
+        self._args = (vals, cols, inv_diag)
+        self._jit = jax.jit(_run)
+
+    def _pad_b(self, b):
+        b = jnp.asarray(b, dtype=self.dtype)
+        bp = jnp.zeros(self.n_pad, dtype=self.dtype).at[: self.n].set(b)
+        return jax.device_put(bp, self.vec_shard)
+
+    def solve(self, b) -> SolveResult:
+        x, rnorm, bnorm, iters = self._jit(*self._args, self._pad_b(b))
+        rnorm, bnorm = float(rnorm), float(bnorm)
+        relres = rnorm / bnorm if bnorm > 0 else 0.0
+        return SolveResult(x=np.asarray(x)[: self.n], iters=int(iters),
+                           relres=relres,
+                           converged=relres <= self.rtol or bnorm == 0.0)
+
+    def solve_fn(self):
+        args, jit, pad = self._args, self._jit, self._pad_b
+        return lambda b: jit(*args, pad(b))

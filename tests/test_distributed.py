@@ -85,3 +85,17 @@ def test_dist_gmres_nonsymmetric(mesh8):
     res = DistributedGmres(A, mesh8, rtol=1e-10).solve(b)
     assert res.converged
     np.testing.assert_allclose(res.x, np.linalg.solve(a, b), rtol=1e-6)
+
+
+def test_dist_bicgstab_matches_single(mesh8):
+    from lsbench_tpu.parallel.dist_bicgstab import DistributedBicgstab
+    A = poisson_2d(13)
+    b = make_rhs(A.nrows)
+    dist = DistributedBicgstab(A, mesh8, rtol=1e-10)
+    res = dist.solve(b)
+    assert res.converged, (res.iters, res.relres)
+    np.testing.assert_allclose(res.x, np.linalg.solve(A.to_dense(), b),
+                               rtol=1e-5)
+    cls, params = get_solver("bicgstab")
+    res1 = cls(A, rtol=1e-10, **params).solve(b)
+    assert abs(res.iters - res1.iters) <= 3  # same recurrence, same dots
