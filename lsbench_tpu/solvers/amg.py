@@ -150,6 +150,9 @@ class AmgOptions:
     theta: float | None = None   # strong threshold; None → per-family
     #                              default: 0.08 SA, 0.25 classical
     #                              (hypre.c:167, amgx.c:81)
+    interp: str = "direct"       # classical interpolation: "direct" or
+    #                              "jacobi" (direct + Jacobi improvement,
+    #                              the ext+i distance-2 role, hypre.c:128)
     smoother: str = "chebyshev"  # "chebyshev" (hypre cheby order, hypre.c:137)
     #                              or "jacobi" (weight auto-scaled by ρ(D⁻¹A))
     degree: int = 2              # Chebyshev degree / Jacobi sweeps
@@ -168,7 +171,7 @@ def _coarsen_level(Al: CsrMatrix, opts: AmgOptions, level: int
     if opts.coarsening == "classical":
         from lsbench_tpu.solvers.classical_amg import classical_coarsen
         theta = 0.25 if opts.theta is None else opts.theta
-        return classical_coarsen(Al, theta, seed=level)
+        return classical_coarsen(Al, theta, seed=level, interp=opts.interp)
     theta = 0.08 if opts.theta is None else opts.theta
     agg, nagg = aggregate(Al, theta)
     if nagg == 0:
@@ -199,9 +202,10 @@ def build_matrix_hierarchy(A: CsrMatrix, opts: AmgOptions):
     from lsbench_tpu.harness import cache
     key = None
     if cache.is_enabled():
-        key = cache.key_of(cache.fingerprint_csr(A), "amg_hier_v1",
-                           opts.coarsening, opts.theta, opts.coarse_n,
-                           opts.max_levels, opts.min_coarsen_ratio)
+        key = cache.key_of(cache.fingerprint_csr(A), "amg_hier_v2",
+                           opts.coarsening, opts.theta, opts.interp,
+                           opts.coarse_n, opts.max_levels,
+                           opts.min_coarsen_ratio)
         hit = cache.load_arrays("amg_hier", key)
         if hit is not None:
             nlev = int(hit["n_levels"][0])
@@ -357,7 +361,7 @@ class AmgSolver(Solver):
 
     def __init__(self, A: CsrMatrix, dtype=jnp.float64, cycles=None,
                  rtol=1e-8, maxiter=100, theta=None, coarsening="sa",
-                 smoother="chebyshev",
+                 interp="direct", smoother="chebyshev",
                  degree=2, cycle="v", pre_sweeps=1, post_sweeps=1,
                  coarse_n=128, max_levels=12, layout="auto", ordering="none",
                  **params):
@@ -370,7 +374,7 @@ class AmgSolver(Solver):
         del ordering  # coarsening is permutation-invariant; flag accepted
 
         opts = AmgOptions(cycle=cycle, theta=theta, coarsening=coarsening,
-                          smoother=smoother,
+                          interp=interp, smoother=smoother,
                           degree=degree, pre_sweeps=pre_sweeps,
                           post_sweeps=post_sweeps, coarse_n=coarse_n,
                           max_levels=max_levels)

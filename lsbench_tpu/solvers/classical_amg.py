@@ -21,6 +21,7 @@ from __future__ import annotations
 import numpy as np
 
 from lsbench_tpu.matrix.csr import CsrMatrix
+from lsbench_tpu.ops.spgemm import spgemm
 
 UNDECIDED, FPOINT, CPOINT = -1, 0, 1
 
@@ -175,14 +176,91 @@ def direct_interpolation(A: CsrMatrix, s_idx: np.ndarray, state: np.ndarray
                               sum_duplicates=True)
 
 
-def classical_coarsen(A: CsrMatrix, theta: float, seed: int = 0
+def jacobi_improve_interpolation(A: CsrMatrix, P: CsrMatrix,
+                                 state: np.ndarray, passes: int = 1,
+                                 pmax: int = 4) -> CsrMatrix:
+    """Jacobi improvement of the F-rows of P toward ideal interpolation
+    W* = -A_FF⁻¹ A_FC, then truncation to `pmax` entries/row with row-sum
+    rescaling. One pass reaches distance-2 C-points — the quality role of
+    Hypre's extended+i interpolation (interp 6, hypre.c:128) on PMIS grids.
+
+        W ← D_FF⁻¹ (−A_FC − (A_FF − D_FF) W)
+    """
+    n = A.nrows
+    f_mask = state == FPOINT
+    f_idx = np.flatnonzero(f_mask)
+    c_idx = np.flatnonzero(~f_mask)
+    if f_idx.size == 0:
+        return P
+    fmap = np.full(n, -1, dtype=np.int64)
+    fmap[f_idx] = np.arange(f_idx.size)
+    cmap = np.full(n, -1, dtype=np.int64)
+    cmap[c_idx] = np.arange(c_idx.size)
+
+    r, c, v = A.to_coo()
+    fr = f_mask[r]
+    # A_FC (F rows, coarse cols) and off-diagonal A_FF scaled by D_FF⁻¹.
+    d = A.diagonal()
+    d_f = np.where(d[f_idx] != 0, d[f_idx], 1.0)
+    sel_fc = fr & ~f_mask[c]
+    A_FC = CsrMatrix.from_coo(fmap[r[sel_fc]], cmap[c[sel_fc]], v[sel_fc],
+                              nrows=f_idx.size, ncols=c_idx.size,
+                              sum_duplicates=False)
+    sel_ff = fr & f_mask[c] & (r != c)
+    off_FF = CsrMatrix.from_coo(fmap[r[sel_ff]], fmap[c[sel_ff]], v[sel_ff],
+                                nrows=f_idx.size, ncols=f_idx.size,
+                                sum_duplicates=False)
+
+    # Current W (F rows of P).
+    pr, pc, pv = P.to_coo()
+    wsel = f_mask[pr]
+    W = CsrMatrix.from_coo(fmap[pr[wsel]], pc[wsel], pv[wsel],
+                           nrows=f_idx.size, ncols=P.ncols,
+                           sum_duplicates=False)
+    for _ in range(passes):
+        AW = spgemm(off_FF, W)
+        wr = np.concatenate([A_FC.row_indices(), AW.row_indices()])
+        wc = np.concatenate([A_FC.cols, AW.cols])
+        wv = np.concatenate([A_FC.vals, AW.vals])
+        W = CsrMatrix.from_coo(wr, wc, -wv / d_f[wr],
+                               nrows=f_idx.size, ncols=P.ncols)
+
+    # Truncate to pmax strongest entries/row, preserving row sums.
+    wr2 = W.row_indices()
+    if pmax and W.nnz:
+        order = np.lexsort((-np.abs(W.vals), wr2))
+        rank = np.arange(W.nnz) - np.searchsorted(wr2[order], wr2[order])
+        keep_sorted = order[rank < pmax]
+        rowsum_all = np.zeros(f_idx.size)
+        np.add.at(rowsum_all, wr2, W.vals)
+        kr, kc, kv = wr2[keep_sorted], W.cols[keep_sorted], W.vals[keep_sorted]
+        rowsum_kept = np.zeros(f_idx.size)
+        np.add.at(rowsum_kept, kr, kv)
+        scale = np.divide(rowsum_all, rowsum_kept,
+                          out=np.ones(f_idx.size), where=rowsum_kept != 0)
+        kv = kv * scale[kr]
+    else:
+        kr, kc, kv = wr2, W.cols, W.vals
+
+    rows = np.concatenate([f_idx[kr], c_idx])
+    cols = np.concatenate([kc, cmap[c_idx]])
+    vals = np.concatenate([kv, np.ones(c_idx.size)])
+    return CsrMatrix.from_coo(rows, cols, vals, nrows=n, ncols=P.ncols)
+
+
+def classical_coarsen(A: CsrMatrix, theta: float, seed: int = 0,
+                      interp: str = "direct", pmax: int = 4
                       ) -> tuple[CsrMatrix, int]:
     """One level of classical AMG coarsening: strength → PMIS → fixup →
-    direct interpolation. Returns (P, n_coarse)."""
+    interpolation ("direct", or "jacobi" = direct + one Jacobi-improvement
+    pass with truncation, the ext+i distance-2 role). Returns
+    (P, n_coarse)."""
     s_rows, s_cols, s_idx = classical_strength(A, theta)
     state = pmis_splitting(A.nrows, s_rows, s_cols, seed=seed)
     state = promote_uninterpolable(state, s_rows, s_cols)
     if not (state == CPOINT).any():
         return None, 0  # nothing to coarsen to (fully decoupled grid)
     P = direct_interpolation(A, s_idx, state)
+    if interp == "jacobi":
+        P = jacobi_improve_interpolation(A, P, state, passes=1, pmax=pmax)
     return P, P.ncols

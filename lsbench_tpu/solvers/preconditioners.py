@@ -66,10 +66,11 @@ def _amg_precond(A: CsrMatrix, dtype, **amg_params):
 
 
 def _amg_classical_precond(A: CsrMatrix, dtype, **amg_params):
-    """Classical-AMG (PMIS + direct interp) V-cycle — the Hypre/AmgX-family
-    preconditioner (hypre.c:126-188)."""
+    """Classical-AMG (PMIS + Jacobi-improved distance-2 interp) V-cycle —
+    the Hypre/AmgX-family preconditioner (hypre.c:126-188)."""
     amg_params.setdefault("coarsening", "classical")
     amg_params.setdefault("theta", 0.25)
+    amg_params.setdefault("interp", "jacobi")
     from lsbench_tpu.solvers.amg import amg_precond
     return amg_precond(A, dtype, **amg_params)
 
