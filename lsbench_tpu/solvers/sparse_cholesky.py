@@ -103,7 +103,9 @@ def numeric_factor(A: CsrMatrix, loffs: np.ndarray, lcols: np.ndarray
     `A` must be symmetric (use `symmetrize` first); returns CSC arrays
     (cp, ci, cx) of L including the diagonal, rows ascending within each
     column. Column j's initial values come from A's row-j slice at
-    cols ≥ j (equal to the lower column by symmetry).
+    cols ≥ j (equal to the lower column by symmetry). The numeric loop
+    runs natively (native/spchol.cpp) when the toolchain is available,
+    with this Python implementation as the fallback (identical math).
     """
     n = A.nrows
     # CSC pattern of L (incl. diagonal): column j holds {j} ∪ {i : j ∈ row_i}.
@@ -121,6 +123,15 @@ def numeric_factor(A: CsrMatrix, loffs: np.ndarray, lcols: np.ndarray
         ci[fill_pos[j]] = i
         fill_pos[j] += 1
     cx = np.zeros(cp[-1])
+
+    try:
+        from lsbench_tpu.native.spchol import chol_numeric
+        cx = chol_numeric(n, A.offs, A.cols, A.vals, cp, ci, loffs, lcols)
+        return cp, ci, cx
+    except np.linalg.LinAlgError:
+        raise
+    except Exception:
+        pass  # no native toolchain — fall through to Python
 
     # Dense accumulator for the current column.
     w = np.zeros(n)

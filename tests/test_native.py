@@ -86,3 +86,41 @@ def test_native_min_degree_matches_python():
             pytest.skip("no native toolchain")
         np.testing.assert_array_equal(
             p_native, min_degree_graph(offs, cols, A.nrows))
+
+
+def test_native_chol_numeric_matches_python(monkeypatch):
+    import numpy as np
+    from lsbench_tpu.matrix.generate import poisson_2d
+    from lsbench_tpu.native import NativeUnavailable
+    from lsbench_tpu.solvers import sparse_cholesky as sc
+
+    A = sc.symmetrize(poisson_2d(11))
+    parent = sc.elimination_tree(A)
+    lo, lc = sc.symbolic_rows(A, parent)
+    try:
+        cp_n, ci_n, cx_n = sc.numeric_factor(A, lo, lc)
+    except NativeUnavailable:
+        pytest.skip("no native toolchain")
+    import lsbench_tpu.native.spchol as S
+    monkeypatch.setattr(S, "chol_numeric", None)  # force Python fallback
+    cp_p, ci_p, cx_p = sc.numeric_factor(A, lo, lc)
+    np.testing.assert_array_equal(cp_n, cp_p)
+    np.testing.assert_array_equal(ci_n, ci_p)
+    np.testing.assert_allclose(cx_n, cx_p, rtol=1e-14)
+
+
+def test_native_chol_numeric_not_spd():
+    import numpy as np
+    from lsbench_tpu.matrix.csr import CsrMatrix
+    from lsbench_tpu.native import NativeUnavailable
+    from lsbench_tpu.solvers import sparse_cholesky as sc
+
+    a = np.array([[1.0, 2.0], [2.0, 1.0]])  # indefinite
+    A = CsrMatrix.from_dense(a)
+    parent = sc.elimination_tree(A)
+    lo, lc = sc.symbolic_rows(A, parent)
+    try:
+        with pytest.raises(np.linalg.LinAlgError):
+            sc.numeric_factor(A, lo, lc)
+    except NativeUnavailable:
+        pytest.skip("no native toolchain")
