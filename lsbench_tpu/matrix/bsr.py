@@ -55,7 +55,9 @@ class BsrMatrix:
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+        blocks, block_cols, sel = children
+        nrows, ncols, nnz, br = aux
+        return cls(blocks, block_cols, nrows, ncols, nnz, br, sel)
 
     @property
     def n_groups(self) -> int:

@@ -254,43 +254,50 @@ def coarse_cholesky(Al: CsrMatrix, dtype) -> jax.Array:
 
 
 def build_hierarchy(A: CsrMatrix, opts: AmgOptions, dtype, layout: str):
-    """Host setup → (levels, coarse_factor). Each level:
-    dict(matvec, P_mv, R_mv, inv_diag, n_fine, n_coarse)."""
+    """Host setup → (level_params, level_aps, coarse_factor).
+
+    `level_params` is a pytree of device arrays (operator layouts +
+    inverse diagonals) meant to be passed as a jit ARGUMENT; `level_aps`
+    holds the static side (apply functions, spectral bounds, sizes).
+    Splitting the two keeps the hierarchy out of the executable's captured
+    constants (which cost per dispatch and bloat the binary)."""
     mats, Al = build_matrix_hierarchy(A, opts)
-    levels = []
+    level_params, level_aps = [], []
     for m in mats:
-        mv, _, _ = build_matvec(m["A"], dtype, layout)
-        pmv, _, _ = build_matvec(m["P"], dtype, layout)
-        rmv, _, _ = build_matvec(m["R"], dtype, layout)
-        levels.append(dict(matvec=mv, P_mv=pmv, R_mv=rmv,
-                           inv_diag=jnp.asarray(m["dinv"], dtype=dtype),
-                           rho=m["rho"], n_fine=m["A"].nrows,
-                           n_coarse=m["P"].ncols))
-    return levels, coarse_cholesky(Al, dtype)
+        a_ap, a_op, _ = build_matvec(m["A"], dtype, layout)
+        p_ap, p_op, _ = build_matvec(m["P"], dtype, layout)
+        r_ap, r_op, _ = build_matvec(m["R"], dtype, layout)
+        level_params.append(dict(a=a_op, p=p_op, r=r_op,
+                                 inv_diag=jnp.asarray(m["dinv"], dtype=dtype)))
+        level_aps.append(dict(a=a_ap, p=p_ap, r=r_ap, rho=m["rho"],
+                              n_fine=m["A"].nrows, n_coarse=m["P"].ncols))
+    return level_params, level_aps, coarse_cholesky(Al, dtype)
 
 
 # -------------------------------------------------------------- device cycle
 
-def make_vcycle(levels, coarse_L, opts: AmgOptions, dtype) -> Callable:
-    """Return vcycle(b, x0) -> x, a jittable closed-form V-cycle."""
+def make_vcycle(level_aps, opts: AmgOptions, dtype) -> Callable:
+    """Return vcycle(level_params, coarse_L, b, x0) -> x, a jittable
+    closed-form V-cycle taking the hierarchy arrays as arguments."""
     import jax.scipy.linalg as jsl
 
-    def coarse_solve(b):
+    def coarse_solve(coarse_L, b):
         y = jsl.solve_triangular(coarse_L, b, lower=True)
         return jsl.solve_triangular(coarse_L, y, lower=True, trans=1)
 
-    def jacobi_smooth(L, b, x):
-        om = jnp.asarray(opts.jacobi_scale / L["rho"], dtype)
+    def jacobi_smooth(ap, L, b, x):
+        om = jnp.asarray(opts.jacobi_scale / ap["rho"], dtype)
         for _ in range(opts.degree):
-            x = x + om * L["inv_diag"] * (b - L["matvec"](x))
+            x = x + om * L["inv_diag"] * (b - ap["a"](L["a"], x))
         return x
 
-    def chebyshev_smooth(L, b, x):
+    def chebyshev_smooth(ap, L, b, x):
         """Chebyshev polynomial smoother on D⁻¹A over [lower·ρ, 1.1·ρ]
         (hypre's cheby smoother family, order = opts.degree)."""
-        mv, dinv = L["matvec"], L["inv_diag"]
-        lmax = 1.1 * L["rho"]
-        lmin = opts.cheby_lower * L["rho"]
+        mv = lambda v: ap["a"](L["a"], v)
+        dinv = L["inv_diag"]
+        lmax = 1.1 * ap["rho"]
+        lmin = opts.cheby_lower * ap["rho"]
         theta = jnp.asarray((lmax + lmin) / 2.0, dtype)
         delta = jnp.asarray((lmax - lmin) / 2.0, dtype)
         sigma = theta / delta
@@ -306,25 +313,27 @@ def make_vcycle(levels, coarse_L, opts: AmgOptions, dtype) -> Callable:
         return x + d
 
     smooth = chebyshev_smooth if opts.smoother == "chebyshev" else jacobi_smooth
+    nlev = len(level_aps)
 
-    def coarse_correct(lvl: int, rc):
+    def coarse_correct(levels, coarse_L, lvl: int, rc):
         """Approximate solve of A_{lvl} e = rc by one cycle (V) or two
         Krylov steps preconditioned by the cycle (K-cycle, Notay —
         parAlmond's algorithm, paralmond.cpp AMGSetup/Operator role)."""
-        if lvl == len(levels):
-            return coarse_solve(rc)
+        if lvl == nlev:
+            return coarse_solve(coarse_L, rc)
         if opts.cycle == "v":
-            return cycle(lvl, rc, jnp.zeros_like(rc))
-        mv = levels[lvl]["matvec"]
+            return cycle(levels, coarse_L, lvl, rc, jnp.zeros_like(rc))
+        ap, L = level_aps[lvl], levels[lvl]
+        mv = lambda v: ap["a"](L["a"], v)
         eps = jnp.asarray(1e-30, dtype)
         # Step 1 (FCG): u = M rc
-        u = cycle(lvl, rc, jnp.zeros_like(rc))
+        u = cycle(levels, coarse_L, lvl, rc, jnp.zeros_like(rc))
         v = mv(u)
         rho1 = jnp.vdot(u, v) + eps
         alpha1 = jnp.vdot(u, rc)
         rt = rc - (alpha1 / rho1) * v
         # Step 2: w = M rt, combined A-orthogonal update.
-        w = cycle(lvl, rt, jnp.zeros_like(rt))
+        w = cycle(levels, coarse_L, lvl, rt, jnp.zeros_like(rt))
         z = mv(w)
         gamma = jnp.vdot(v, w)
         rho2 = jnp.vdot(w, z) - gamma * gamma / rho1 + eps
@@ -332,22 +341,23 @@ def make_vcycle(levels, coarse_L, opts: AmgOptions, dtype) -> Callable:
         return (alpha1 / rho1 - gamma * alpha2 / (rho1 * rho2)) * u \
             + (alpha2 / rho2) * w
 
-    def cycle(lvl: int, b, x):
-        if lvl == len(levels):
-            return coarse_solve(b)
-        L = levels[lvl]
+    def cycle(levels, coarse_L, lvl: int, b, x):
+        if lvl == nlev:
+            return coarse_solve(coarse_L, b)
+        ap, L = level_aps[lvl], levels[lvl]
         for _ in range(opts.pre_sweeps):
-            x = smooth(L, b, x)
-        r = b - L["matvec"](x)
-        rc = L["R_mv"](r)
-        ec = coarse_correct(lvl + 1, rc)
-        x = x + L["P_mv"](ec)
+            x = smooth(ap, L, b, x)
+        r = b - ap["a"](L["a"], x)
+        rc = ap["r"](L["r"], r)
+        ec = coarse_correct(levels, coarse_L, lvl + 1, rc)
+        x = x + ap["p"](L["p"], ec)
         for _ in range(opts.post_sweeps):
-            x = smooth(L, b, x)
+            x = smooth(ap, L, b, x)
         return x
 
-    def vcycle(b, x0):
-        return cycle(0, b.astype(dtype), x0.astype(dtype))
+    def vcycle(level_params, coarse_L, b, x0):
+        return cycle(level_params, coarse_L, 0,
+                     b.astype(dtype), x0.astype(dtype))
 
     return vcycle
 
@@ -379,30 +389,36 @@ class AmgSolver(Solver):
                           post_sweeps=post_sweeps, coarse_n=coarse_n,
                           max_levels=max_levels)
         self.opts = opts
-        levels, coarse_L = build_hierarchy(A, opts, self.dtype, self.layout)
-        self.n_levels = len(levels) + 1
-        vcycle = make_vcycle(levels, coarse_L, opts, self.dtype)
+        level_params, level_aps, coarse_L = build_hierarchy(
+            A, opts, self.dtype, self.layout)
+        self.n_levels = len(level_aps) + 1
+        vcycle = make_vcycle(level_aps, opts, self.dtype)
         # Fine-level residual operator (independent of hierarchy depth).
-        fine_mv = (levels[0]["matvec"] if levels
-                   else build_matvec(A, self.dtype, self.layout)[0])
+        if level_aps:
+            fine_mv = lambda lv, x: level_aps[0]["a"](lv[0]["a"], x)
+        else:
+            f_ap, f_op, _ = build_matvec(A, self.dtype, self.layout)
+            level_params = [dict(a=f_op)]
+            fine_mv = lambda lv, x: f_ap(lv[0]["a"], x)
         dt = self.dtype
+        self._params = (level_params, coarse_L)
 
         if self.cycles is not None:
             k = self.cycles
 
             @jax.jit
-            def _solve(b):
+            def _solve(lv, cL, b):
                 b = b.astype(dt)
                 x = jnp.zeros_like(b)
                 for _ in range(k):
-                    x = vcycle(b, x)
-                r = b - fine_mv(x)
+                    x = vcycle(lv, cL, b, x)
+                r = b - fine_mv(lv, x)
                 return x, jnp.sqrt(jnp.vdot(r, r)), jnp.sqrt(jnp.vdot(b, b))
         else:
             rtol_c, maxiter_c = self.rtol, self.maxiter
 
             @jax.jit
-            def _solve(b):
+            def _solve(lv, cL, b):
                 b = b.astype(dt)
                 bb = jnp.vdot(b, b)
                 tol2 = (rtol_c ** 2) * bb
@@ -413,8 +429,8 @@ class AmgSolver(Solver):
 
                 def body(s):
                     x, rr, it = s
-                    x = vcycle(b, x)
-                    r = b - fine_mv(x)
+                    x = vcycle(lv, cL, b, x)
+                    r = b - fine_mv(lv, x)
                     return (x, jnp.vdot(r, r), it + 1)
 
                 x0 = jnp.zeros_like(b)
@@ -425,7 +441,7 @@ class AmgSolver(Solver):
         self._jit_solve = _solve
 
     def solve(self, b) -> SolveResult:
-        out = self._jit_solve(jnp.asarray(b))
+        out = self._jit_solve(*self._params, jnp.asarray(b))
         if self.cycles is not None:
             x, rnorm, bnorm = out
             iters = self.cycles
@@ -445,18 +461,22 @@ class AmgSolver(Solver):
                            extra={"levels": self.n_levels})
 
     def solve_fn(self):
-        return self._jit_solve
+        params, jit_solve = self._params, self._jit_solve
+        return lambda b: jit_solve(*params, b)
 
 
 def amg_precond(A: CsrMatrix, dtype, **amg_params):
-    """One V-cycle as a CG preconditioner (symmetric: Jacobi pre+post)."""
+    """One V-cycle as a CG preconditioner (symmetric: Jacobi pre+post).
+
+    The hierarchy arrays ride in the preconditioner *state* (a jit
+    argument), not in captured constants."""
     layout = resolve_layout(amg_params.pop("layout", "auto"), dtype)
     opts = AmgOptions(**amg_params)
-    levels, coarse_L = build_hierarchy(A, opts, dtype, layout)
-    vcycle = make_vcycle(levels, coarse_L, opts, dtype)
+    level_params, level_aps, coarse_L = build_hierarchy(A, opts, dtype, layout)
+    vcycle = make_vcycle(level_aps, opts, dtype)
 
     def apply(state, r):
-        del state
-        return vcycle(r, jnp.zeros_like(r))
+        lv, cL = state
+        return vcycle(lv, cL, r, jnp.zeros_like(r))
 
-    return None, apply
+    return (level_params, coarse_L), apply

@@ -79,20 +79,26 @@ def resolve_layout(layout: str, dtype) -> str:
 
 
 def build_matvec(A: CsrMatrix, dtype, layout: str):
-    """Return (matvec_fn, op_pytree, stream_bytes) for the chosen layout."""
+    """Return (apply_fn, op_pytree, stream_bytes) for the chosen layout.
+
+    `apply_fn(op, v)` takes the operator pytree explicitly so solvers can
+    pass it as a jit ARGUMENT — closing over device arrays turns them into
+    captured jit constants, which bloat the executable and add
+    per-dispatch cost proportional to their size.
+    """
     if layout == "bsr":
         from lsbench_tpu.matrix.bsr import BsrMatrix
         from lsbench_tpu.ops.spmv_pallas import spmv_bsr
         op = BsrMatrix.from_csr(A, dtype=jnp.float32)
-        return (lambda v: spmv_bsr(op, v)), op, op.bytes_streamed
+        return (lambda op, v: spmv_bsr(op, v)), op, op.bytes_streamed
     if layout == "bsr_xla":
         from lsbench_tpu.matrix.bsr import BsrMatrix
         op = BsrMatrix.from_csr(A, dtype=dtype)
         stream = op.bytes_streamed + op.sel.size * 4
-        return (lambda v: op.matvec_xla(v)), op, stream
+        return (lambda op, v: op.matvec_xla(v)), op, stream
     ell = EllMatrix.from_csr(A, dtype=dtype)
     stream = ell.vals.size * (ell.vals.dtype.itemsize + 4)
-    return (lambda v: spmv_ell(ell, v)), ell, stream
+    return (lambda op, v: spmv_ell(op, v)), ell, stream
 
 
 @register_solver("cg")
@@ -119,8 +125,9 @@ class CgSolver(Solver):
         inv[perm] = np.arange(A.nrows)
         self._inv_dev = None if self._identity_perm else jnp.asarray(inv)
 
-        mv, self._op, self.stream_bytes = build_matvec(Ap, self.dtype, self.layout)
-        self._mv = mv
+        apply_mv, self._op, self.stream_bytes = build_matvec(
+            Ap, self.dtype, self.layout)
+        self._mv = lambda v: apply_mv(self._op, v)
         pdtype = jnp.float32 if self.layout == "bsr" else self.dtype
         self._pstate, papply = get_preconditioner(precond)(
             Ap, pdtype, **(precond_params or {}))
@@ -129,9 +136,12 @@ class CgSolver(Solver):
         dt = jnp.float32 if self.layout == "bsr" else self.dtype
         perm_dev, inv_dev = self._perm_dev, self._inv_dev
 
+        # Operator + preconditioner state enter as jit ARGUMENTS (captured
+        # device-array constants add per-dispatch cost and executable size).
         @jax.jit
-        def _solve(pstate, b):
+        def _solve(op, pstate, b):
             bp = b if perm_dev is None else b[perm_dev]
+            mv = lambda v: apply_mv(op, v)
             pc = lambda r: papply(pstate, r)
             x, iters, rnorm, bnorm = cg_loop(mv, pc, bp, rtol_c, maxiter_c, dt)
             if inv_dev is not None:
@@ -142,7 +152,7 @@ class CgSolver(Solver):
 
     def solve(self, b) -> SolveResult:
         b = jnp.asarray(b)
-        x, iters, rnorm, bnorm = self._jit_solve(self._pstate, b)
+        x, iters, rnorm, bnorm = self._jit_solve(self._op, self._pstate, b)
         rnorm = float(rnorm)
         bnorm = float(bnorm)
         relres = rnorm / bnorm if bnorm > 0 else 0.0
@@ -150,6 +160,6 @@ class CgSolver(Solver):
                            converged=relres <= self.rtol or bnorm == 0.0)
 
     def solve_fn(self):
-        pstate = self._pstate
+        op, pstate = self._op, self._pstate
         jit_solve = self._jit_solve
-        return lambda b: jit_solve(pstate, b)
+        return lambda b: jit_solve(op, pstate, b)

@@ -105,8 +105,9 @@ class GmresSolver(Solver):
         inv[perm] = np.arange(A.nrows)
         inv_dev = None if identity else jnp.asarray(inv)
 
-        mv, self._op, self.stream_bytes = build_matvec(Ap, self.dtype, self.layout)
-        self._mv = mv
+        apply_mv, self._op, self.stream_bytes = build_matvec(
+            Ap, self.dtype, self.layout)
+        self._mv = lambda v: apply_mv(self._op, v)
         pdtype = jnp.float32 if self.layout == "bsr" else self.dtype
         self._pstate, papply = get_preconditioner(precond)(Ap, pdtype)
 
@@ -114,8 +115,9 @@ class GmresSolver(Solver):
         dt = jnp.float32 if self.layout == "bsr" else self.dtype
 
         @jax.jit
-        def _solve(pstate, b):
+        def _solve(op, pstate, b):
             bp = b if perm_dev is None else b[perm_dev]
+            mv = lambda v: apply_mv(op, v)
             pc = lambda r: papply(pstate, r)
             x, iters, rnorm, bnorm = gmres_loop(mv, pc, bp, rtol_c, mr, m, dt)
             if inv_dev is not None:
@@ -125,12 +127,13 @@ class GmresSolver(Solver):
         self._jit_solve = _solve
 
     def solve(self, b) -> SolveResult:
-        x, iters, rnorm, bnorm = self._jit_solve(self._pstate, jnp.asarray(b))
+        x, iters, rnorm, bnorm = self._jit_solve(self._op, self._pstate,
+                                                 jnp.asarray(b))
         rnorm, bnorm = float(rnorm), float(bnorm)
         relres = rnorm / bnorm if bnorm > 0 else 0.0
         return SolveResult(x=x, iters=int(iters), relres=relres,
                            converged=relres <= self.rtol or bnorm == 0.0)
 
     def solve_fn(self):
-        pstate, jit_solve = self._pstate, self._jit_solve
-        return lambda b: jit_solve(pstate, b)
+        op, pstate, jit_solve = self._op, self._pstate, self._jit_solve
+        return lambda b: jit_solve(op, pstate, b)

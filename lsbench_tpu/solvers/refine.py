@@ -48,16 +48,17 @@ class CgIrSolver(Solver):
         inv[perm] = np.arange(A.nrows)
         inv_dev = None if identity else jnp.asarray(inv)
 
-        mv32, self._op, self.stream_bytes = build_matvec(Ap, jnp.float32, self.layout)
+        apply32, self._op, self.stream_bytes = build_matvec(
+            Ap, jnp.float32, self.layout)
         self._ell64 = EllMatrix.from_csr(Ap, dtype=jnp.float64)
         self._pstate, papply = get_preconditioner(precond)(Ap, jnp.float32)
 
-        ell64 = self._ell64
         rtol_c, inner_rtol_c = self.rtol, self.inner_rtol
         maxiter_c, max_refine_c = self.maxiter, self.max_refine
 
         @jax.jit
-        def _solve(pstate, b):
+        def _solve(op, ell64, pstate, b):
+            mv32 = lambda v: apply32(op, v)
             b = b.astype(jnp.float64)
             bp = b if perm_dev is None else b[perm_dev]
             bnorm = jnp.sqrt(jnp.vdot(bp, bp))
@@ -70,7 +71,7 @@ class CgIrSolver(Solver):
 
             def refine_body(s):
                 x, rr, it_total, passes = s
-                r = bp - spmv_ell(ell64, x)                      # f64 residual
+                r = bp - spmv_ell(ell64, x)                    # f64 residual
                 # Scale for f32 range safety, solve A d ≈ r in f32.
                 scale = jnp.sqrt(jnp.vdot(r, r))
                 safe = jnp.where(scale > 0, scale, 1.0)
@@ -93,8 +94,8 @@ class CgIrSolver(Solver):
         self._jit_solve = _solve
 
     def solve(self, b) -> SolveResult:
-        x, iters, passes, rnorm, bnorm = self._jit_solve(self._pstate,
-                                                         jnp.asarray(b))
+        x, iters, passes, rnorm, bnorm = self._jit_solve(
+            self._op, self._ell64, self._pstate, jnp.asarray(b))
         rnorm, bnorm = float(rnorm), float(bnorm)
         relres = rnorm / bnorm if bnorm > 0 else 0.0
         return SolveResult(x=x, iters=int(iters), relres=relres,
@@ -102,5 +103,6 @@ class CgIrSolver(Solver):
                            extra={"refine_passes": int(passes)})
 
     def solve_fn(self):
-        pstate, jit_solve = self._pstate, self._jit_solve
-        return lambda b: jit_solve(pstate, b)
+        args = (self._op, self._ell64, self._pstate)
+        jit_solve = self._jit_solve
+        return lambda b: jit_solve(*args, b)
