@@ -12,11 +12,13 @@ means the native kernel beats the port-equivalent path).
 
 Workload: the reference benchmark matrix tests/xn3b_A_10.txt when present
 (largest shipped), else a synthetic SPD matrix with the same nnz/row
-statistics. SpMV timed as a chained x -> A@x loop inside one jit (at this
-size per-dispatch latency would otherwise dominate), matching how SpMV
-appears inside Krylov iterations. CG time-to-solution uses the flagship
-mixed-precision mode (f32 Pallas inner CG + f64 refinement to relres 1e-10,
-the reference's direct-solve tolerance, cusparse.c:184).
+statistics. SpMV is timed as the SLOPE over two chained x -> A@x loop
+lengths inside single jits: wall(chain) = dispatch_latency + chain * t_spmv,
+so differencing removes the dispatch latency (~30 ms through the remote-TPU
+tunnel — it would otherwise dominate at these sizes). CG time-to-solution
+uses the flagship mixed-precision mode (f32 Pallas inner CG + f64
+refinement to relres 1e-10, the reference's direct-solve tolerance,
+cusparse.c:184).
 """
 
 import json
@@ -31,7 +33,8 @@ import jax.numpy as jnp
 REF_MATRIX = "/root/reference/tests/xn3b_A_10.txt"
 
 
-def _timed_chain(fn, x0, chain, reps=5):
+def _chain_wall(fn, x0, chain, reps=3):
+    """Median wall-clock of ONE dispatch of `chain` dependent fn steps."""
     @jax.jit
     def chained(x):
         def body(_, v):
@@ -45,7 +48,17 @@ def _timed_chain(fn, x0, chain, reps=5):
         t0 = time.perf_counter()
         jax.block_until_ready(chained(x0))
         ts.append(time.perf_counter() - t0)
-    return sorted(ts)[reps // 2] / chain
+    return sorted(ts)[reps // 2]
+
+
+def _slope_timed(fn, x0, c1, c2, reps=3):
+    """Per-step time as the slope over two chain lengths (removes the
+    per-dispatch latency), plus the inferred dispatch intercept."""
+    w1 = _chain_wall(fn, x0, c1, reps)
+    w2 = _chain_wall(fn, x0, c2, reps)
+    slope = max((w2 - w1) / (c2 - c1), 1e-12)
+    intercept = max(w1 - slope * c1, 0.0)
+    return slope, intercept
 
 
 def main():
@@ -71,11 +84,11 @@ def main():
 
     # Native path: Pallas BSR kernel (f32), RCM-densified blocks.
     bsr = BsrMatrix.from_csr(A)
-    t_pallas = _timed_chain(lambda v: spmv_bsr(bsr, v), x0, chain=200)
+    t_pallas, disp = _slope_timed(lambda v: spmv_bsr(bsr, v), x0, 200, 1200)
 
     # Port-equivalent baseline: XLA gather ELL SpMV (same math, same chip).
     ell32 = EllMatrix.from_csr(A, dtype=jnp.float32)
-    t_gather = _timed_chain(lambda v: spmv_ell(ell32, v), x0, chain=50, reps=3)
+    t_gather, _ = _slope_timed(lambda v: spmv_ell(ell32, v), x0, 10, 60)
 
     gnnz_s = A.nnz / t_pallas / 1e9
 
@@ -99,6 +112,8 @@ def main():
         "details": {
             "pallas_spmv_us": round(t_pallas * 1e6, 2),
             "xla_gather_spmv_us": round(t_gather * 1e6, 2),
+            "hbm_gb_per_s": round(bsr.bytes_streamed / t_pallas / 1e9, 1),
+            "dispatch_latency_ms": round(disp * 1e3, 1),
             "cg_fp32ir_solve_s": round(cg_s, 4),
             "cg_iters": res.iters,
             "cg_relres": res.relres,

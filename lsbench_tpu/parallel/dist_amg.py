@@ -66,7 +66,8 @@ class _DistAmgBase(Solver):
     def __init__(self, A: CsrMatrix, mesh: Mesh, dtype=jnp.float64,
                  theta=None, coarsening="sa", smoother="chebyshev", degree=2,
                  pre_sweeps=1, post_sweeps=1, coarse_n=64, max_levels=12,
-                 jacobi_scale=4.0 / 3.0, cheby_lower=0.30, **params):
+                 jacobi_scale=4.0 / 3.0, cheby_lower=0.30, ordering="rcm",
+                 comm="auto", **params):
         super().__init__(A, **params)
         self.mesh = mesh
         self.dtype = jnp.dtype(dtype)
@@ -74,14 +75,28 @@ class _DistAmgBase(Solver):
         n_dev = mesh.devices.size
         self.n_dev = n_dev
 
+        # RCM on the fine level + RCM renumbering of every coarse level
+        # keeps all operators banded, so the smoother matvecs can use the
+        # O(halo) ppermute ring instead of O(n) all_gather (SURVEY.md §7.6).
+        from lsbench_tpu.ordering import get_ordering
+        perm = get_ordering(ordering, A)
+        identity = bool(np.all(perm == np.arange(A.nrows)))
+        Ap = A if identity else A.permuted(perm)
+        self._perm = None if identity else perm
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(A.nrows)
+        self._invperm = None if identity else inv
+
         opts = AmgOptions(theta=theta, coarsening=coarsening,
                           smoother=smoother, degree=degree,
                           pre_sweeps=pre_sweeps, post_sweeps=post_sweeps,
                           coarse_n=coarse_n, max_levels=max_levels,
-                          jacobi_scale=jacobi_scale, cheby_lower=cheby_lower)
+                          jacobi_scale=jacobi_scale, cheby_lower=cheby_lower,
+                          reorder_coarse=(comm != "all_gather"))
         self.opts = opts
-        mats, Acoarse = build_matrix_hierarchy(A, opts)
+        mats, Acoarse = build_matrix_hierarchy(Ap, opts)
         self.n_levels = len(mats) + 1
+        self.comm = comm
 
         sizes = [m["A"].nrows for m in mats] + [Acoarse.nrows]
         pads = [_pad_size(s, n_dev) for s in sizes]
@@ -98,9 +113,20 @@ class _DistAmgBase(Solver):
 
         levels_dev = []
         levels_spec = []
+        self._halos = []  # per level: halo width (ppermute ring) or None
         for l, m in enumerate(mats):
             npf, npc = pads[l], pads[l + 1]
-            av, ac = _ell_padded(m["A"], npf, self.dtype)
+            halo = None
+            if comm in ("auto", "halo"):
+                from lsbench_tpu.parallel.dist_spmv import build_halo_plan
+                plan = build_halo_plan(m["A"], n_dev, self.dtype)
+                assert plan.n_pad == npf
+                if not plan.needs_all_gather:
+                    halo = plan.halo
+                    av, ac = plan.vals, plan.cols
+            if halo is None:
+                av, ac = _ell_padded(m["A"], npf, self.dtype)
+            self._halos.append(halo)
             pv, pc = _ell_padded(m["P"], npf, self.dtype)
             rv, rc = _ell_padded(m["R"], npc, self.dtype)
             dinv = np.zeros(npf)
@@ -134,30 +160,40 @@ class _DistAmgBase(Solver):
         opts, rhos = self.opts, self.rhos
         nloc_L = self.pads[-1] // self.n_dev
         nlev = self.n_levels - 1
+        halos = self._halos
         import jax.scipy.linalg as jsl
+
+        from lsbench_tpu.parallel.dist_spmv import halo_spmv_local
 
         def matvec(vals_l, cols_l, x_l):
             xf = jax.lax.all_gather(x_l, ROWS, tiled=True)
             return jnp.sum(vals_l * xf[cols_l], axis=1)
 
-        def jacobi(L, rho, b_l, x_l):
+        def a_matvec(lvl, L, x_l):
+            """Level operator: O(halo) ppermute ring when banded, else
+            all_gather."""
+            if halos[lvl] is not None:
+                return halo_spmv_local(halos[lvl], L["av"], L["ac"], x_l)
+            return matvec(L["av"], L["ac"], x_l)
+
+        def jacobi(lvl, L, rho, b_l, x_l):
             om = jnp.asarray(opts.jacobi_scale / rho, b_l.dtype)
             for _ in range(opts.degree):
-                x_l = x_l + om * L["dinv"] * (b_l - matvec(L["av"], L["ac"], x_l))
+                x_l = x_l + om * L["dinv"] * (b_l - a_matvec(lvl, L, x_l))
             return x_l
 
-        def chebyshev(L, rho, b_l, x_l):
+        def chebyshev(lvl, L, rho, b_l, x_l):
             lmax = 1.1 * rho
             lmin = opts.cheby_lower * rho
             theta = jnp.asarray((lmax + lmin) / 2.0, b_l.dtype)
             delta = jnp.asarray((lmax - lmin) / 2.0, b_l.dtype)
             sigma = theta / delta
             rho_k = 1.0 / sigma
-            r = b_l - matvec(L["av"], L["ac"], x_l)
+            r = b_l - a_matvec(lvl, L, x_l)
             d = (L["dinv"] * r) / theta
             for _ in range(opts.degree - 1):
                 x_l = x_l + d
-                r = r - matvec(L["av"], L["ac"], d)
+                r = r - a_matvec(lvl, L, d)
                 rho_k1 = 1.0 / (2.0 * sigma - rho_k)
                 d = (rho_k1 * rho_k) * d + (2.0 * rho_k1 / delta) * (L["dinv"] * r)
                 rho_k = rho_k1
@@ -177,23 +213,31 @@ class _DistAmgBase(Solver):
                 return coarse_solve(coarse_L, b_l)
             L = levels[lvl]
             for _ in range(opts.pre_sweeps):
-                x_l = smooth(L, rhos[lvl], b_l, x_l)
-            r_l = b_l - matvec(L["av"], L["ac"], x_l)
+                x_l = smooth(lvl, L, rhos[lvl], b_l, x_l)
+            r_l = b_l - a_matvec(lvl, L, x_l)
             rc_l = matvec(L["rv"], L["rc"], r_l)
             ec_l = cycle(levels, coarse_L, lvl + 1, rc_l,
                          jnp.zeros_like(rc_l))
             x_l = x_l + matvec(L["pv"], L["pc"], ec_l)
             for _ in range(opts.post_sweeps):
-                x_l = smooth(L, rhos[lvl], b_l, x_l)
+                x_l = smooth(lvl, L, rhos[lvl], b_l, x_l)
             return x_l
 
-        fine_matvec = matvec
+        def fine_matvec(L, x_l):
+            return a_matvec(0, L, x_l)
+
         return cycle, fine_matvec
 
     def _pad_b(self, b):
-        b = jnp.asarray(b, dtype=self.dtype)
-        bp = jnp.zeros(self.n_pad, dtype=self.dtype).at[: self.n].set(b)
+        b = np.asarray(b, dtype=np.float64)
+        if self._perm is not None:
+            b = b[self._perm]
+        bp = jnp.zeros(self.n_pad, dtype=self.dtype).at[: self.n].set(
+            jnp.asarray(b, dtype=self.dtype))
         return jax.device_put(bp, self._vec_shard)
+
+    def _unpermute(self, x_host: np.ndarray) -> np.ndarray:
+        return x_host if self._invperm is None else x_host[self._invperm]
 
 
 class DistributedAmg(_DistAmgBase):
@@ -209,7 +253,7 @@ class DistributedAmg(_DistAmgBase):
         self.rtol = float(rtol)
         self.maxiter = int(maxiter)
 
-        cycle, matvec = self._make_cycle()
+        cycle, fine_matvec = self._make_cycle()
         spec = (self._levels_spec, P(None, None), P(ROWS))
         cycles_c, rtol_c, maxiter_c = self.cycles, self.rtol, self.maxiter
 
@@ -222,7 +266,7 @@ class DistributedAmg(_DistAmgBase):
             if cycles_c is not None:
                 for _ in range(cycles_c):
                     x_l = cycle(levels, coarse_L, 0, b_l, x_l)
-                r_l = b_l - matvec(fine["av"], fine["ac"], x_l)
+                r_l = b_l - fine_matvec(fine, x_l)
                 rr = jax.lax.psum(jnp.vdot(r_l, r_l), ROWS)
                 return x_l, jnp.sqrt(rr), jnp.sqrt(bb), jnp.int32(cycles_c)
             tol2 = (rtol_c ** 2) * bb
@@ -234,7 +278,7 @@ class DistributedAmg(_DistAmgBase):
             def body(s):
                 x, rr, it = s
                 x = cycle(levels, coarse_L, 0, b_l, x)
-                r = b_l - matvec(fine["av"], fine["ac"], x)
+                r = b_l - fine_matvec(fine, x)
                 return (x, jax.lax.psum(jnp.vdot(r, r), ROWS), it + 1)
 
             x_l, rr, it = jax.lax.while_loop(cond, body, (x_l, bb, jnp.int32(0)))
@@ -247,7 +291,7 @@ class DistributedAmg(_DistAmgBase):
             self._levels_dev, self._coarse_L, self._pad_b(b))
         rnorm, bnorm = float(rnorm), float(bnorm)
         relres = rnorm / bnorm if bnorm > 0 else 0.0
-        x_host = np.asarray(x)[: self.n]
+        x_host = self._unpermute(np.asarray(x)[: self.n])
         conv = (True if self.cycles is not None else relres <= self.rtol)
         return SolveResult(x=x_host, iters=int(iters), relres=relres,
                            converged=conv,
@@ -274,7 +318,7 @@ class DistributedAmgCg(_DistAmgBase):
         self.maxiter = (int(maxiter) if maxiter is not None
                         else max(10 * A.nrows, 1000))
 
-        cycle, matvec = self._make_cycle()
+        cycle, fine_matvec = self._make_cycle()
         spec = (self._levels_spec, P(None, None), P(ROWS))
         rtol_c, maxiter_c = self.rtol, self.maxiter
 
@@ -284,7 +328,7 @@ class DistributedAmgCg(_DistAmgBase):
             fine = levels[0]
 
             def mv(p_l):
-                return matvec(fine["av"], fine["ac"], p_l)
+                return fine_matvec(fine, p_l)
 
             def precond(r_l):
                 return cycle(levels, coarse_L, 0, r_l, jnp.zeros_like(r_l))
@@ -328,7 +372,7 @@ class DistributedAmgCg(_DistAmgBase):
         x, relres, iters = self._jit_cg(
             self._levels_dev, self._coarse_L, self._pad_b(b))
         relres = float(relres)
-        x_host = np.asarray(x)[: self.n]
+        x_host = self._unpermute(np.asarray(x)[: self.n])
         return SolveResult(x=x_host, iters=int(iters), relres=relres,
                            converged=relres <= self.rtol,
                            extra={"levels": self.n_levels,

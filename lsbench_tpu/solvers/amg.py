@@ -163,6 +163,9 @@ class AmgOptions:
     max_levels: int = 12
     coarse_n: int = 128          # direct-solve size
     min_coarsen_ratio: float = 0.9  # stop if nagg > ratio * n
+    reorder_coarse: bool = False  # RCM-renumber each coarse level (keeps
+    #                               banding so distributed halo exchange
+    #                               stays narrow — parallel/dist_amg.py)
 
 
 def _coarsen_level(Al: CsrMatrix, opts: AmgOptions, level: int
@@ -202,10 +205,10 @@ def build_matrix_hierarchy(A: CsrMatrix, opts: AmgOptions):
     from lsbench_tpu.harness import cache
     key = None
     if cache.is_enabled():
-        key = cache.key_of(cache.fingerprint_csr(A), "amg_hier_v2",
+        key = cache.key_of(cache.fingerprint_csr(A), "amg_hier_v3",
                            opts.coarsening, opts.theta, opts.interp,
                            opts.coarse_n, opts.max_levels,
-                           opts.min_coarsen_ratio)
+                           opts.min_coarsen_ratio, opts.reorder_coarse)
         hit = cache.load_arrays("amg_hier", key)
         if hit is not None:
             nlev = int(hit["n_levels"][0])
@@ -223,6 +226,17 @@ def build_matrix_hierarchy(A: CsrMatrix, opts: AmgOptions):
         P, nagg = _coarsen_level(Al, opts, len(mats))
         if P is None or nagg >= opts.min_coarsen_ratio * Al.nrows:
             break
+        if opts.reorder_coarse:
+            # Renumber the coarse space by RCM of the coarse operator so
+            # every level stays banded (math is permutation-invariant).
+            from lsbench_tpu.ordering.rcm import rcm_ordering
+            Ac0 = rap(P.transpose(), Al, P)
+            cperm = rcm_ordering(Ac0)
+            cinv = np.empty_like(cperm)
+            cinv[cperm] = np.arange(cperm.size)
+            pr, pc, pv = P.to_coo()
+            P = CsrMatrix.from_coo(pr, cinv[pc], pv, nrows=P.nrows,
+                                   ncols=P.ncols, sum_duplicates=False)
         R = P.transpose()
         Ac = rap(R, Al, P)
         d = Al.diagonal()
