@@ -75,10 +75,16 @@ def _amg_classical_precond(A: CsrMatrix, dtype, **amg_params):
     return amg_precond(A, dtype, **amg_params)
 
 
+def _ic0_precond(A: CsrMatrix, dtype, **params):
+    from lsbench_tpu.solvers.ic0 import ic0_precond
+    return ic0_precond(A, dtype, **params)
+
+
 PRECONDITIONERS = {
     "none": identity_precond,
     "jacobi": jacobi_precond,
     "block_jacobi": block_jacobi_precond,
+    "ic0": _ic0_precond,
     "amg": _amg_precond,
     "amg_classical": _amg_classical_precond,
 }

@@ -229,8 +229,11 @@ def _pack_levels(n, row_offs, row_cols, row_vals, diag, level, dtype):
             nlev * T, R)
 
 
-def build_level_solver(cp, ci, cx, n, dtype):
-    """Return jitted x = solve(b) applying L then Lᵀ by level schedule."""
+def pack_tri(cp, ci, cx, n, dtype):
+    """Pack CSC L (incl. diagonal) into level-scheduled forward/backward
+    sweep arrays. Returns (state, meta): `state` is a pytree of device
+    arrays (safe to pass as a jit ARGUMENT), `meta` holds the static ints
+    the apply function needs (segment counts, level counts, pad waste)."""
     # Row-wise strictly-lower CSR of L from CSC.
     row_of = ci
     col_of = np.repeat(np.arange(n), np.diff(cp))
@@ -264,31 +267,49 @@ def build_level_solver(cp, ci, cx, n, dtype):
             lev_b[i] = lev_b[js].max() + 1
     packed_b = _pack_levels(n, uoffs, ucols, uvals, diag, lev_b, dtype)
 
-    def sweep(packed, b):
-        rows, slot, cols, vals, dinv, _, R = packed
+    state = {"f": packed_f[:5], "b": packed_b[:5]}
+    meta = {"Rf": packed_f[6], "Rb": packed_b[6],
+            "nlev_f": int(lev_f.max()) + 1, "nlev_b": int(lev_b.max()) + 1,
+            "waste": (packed_f[5] + packed_b[5]) / max(1, 2 * (r.size + n))}
+    return state, meta
 
-        def step(x, lv):
-            rw, sl, cl, vl, di = lv
-            contrib = vl * x[cl]
-            s = jax.ops.segment_sum(contrib, sl, num_segments=R + 1,
-                                    indices_are_sorted=True)[:R]
-            xi = (b[rw] - s) * di
-            return x.at[rw].set(xi), None
 
-        x0 = jnp.zeros(n + 1, dtype=b.dtype)
-        x, _ = jax.lax.scan(step, x0, (rows, slot, cols, vals, dinv))
-        return x[:n]
+def _sweep(packed, R, n, b):
+    """One level-scheduled triangular sweep; b is length n+1 (pad slot)."""
+    def step(x, lv):
+        rw, sl, cl, vl, di = lv
+        contrib = vl * x[cl]
+        s = jax.ops.segment_sum(contrib, sl, num_segments=R + 1,
+                                indices_are_sorted=True)[:R]
+        xi = (b[rw] - s) * di
+        return x.at[rw].set(xi), None
+
+    x0 = jnp.zeros(n + 1, dtype=b.dtype)
+    x, _ = jax.lax.scan(step, x0, packed)
+    return x[:n]
+
+
+def apply_tri(state, b, *, n, Rf, Rb):
+    """x = (L Lᵀ)⁻¹ b via the packed level schedules (jittable; `state`
+    flows through as a pytree argument, only ints are closed over)."""
+    dtype = state["f"][3].dtype
+    b = b.astype(dtype)
+    bp = jnp.concatenate([b, jnp.zeros(1, dtype)])
+    y = _sweep(state["f"], Rf, n, bp)
+    yp = jnp.concatenate([y, jnp.zeros(1, dtype)])
+    return _sweep(state["b"], Rb, n, yp)
+
+
+def build_level_solver(cp, ci, cx, n, dtype):
+    """Return jitted x = solve(b) applying L then Lᵀ by level schedule."""
+    state, meta = pack_tri(cp, ci, cx, n, dtype)
+    Rf, Rb = meta["Rf"], meta["Rb"]
 
     @jax.jit
     def solve(b):
-        b = b.astype(dtype)
-        bp = jnp.concatenate([b, jnp.zeros(1, dtype)])
-        y = sweep(packed_f, bp)
-        yp = jnp.concatenate([y, jnp.zeros(1, dtype)])
-        return sweep(packed_b, yp)
+        return apply_tri(state, b, n=n, Rf=Rf, Rb=Rb)
 
-    waste = (packed_f[5] + packed_b[5]) / max(1, 2 * (r.size + n))
-    return solve, int(lev_f.max()) + 1, int(lev_b.max()) + 1, waste
+    return solve, meta["nlev_f"], meta["nlev_b"], meta["waste"]
 
 
 # ------------------------------------------------------------------- solver
