@@ -1,0 +1,237 @@
+"""2-D block-partitioned distributed SpMV and CG.
+
+The 1-D block-row partition (parallel/dist_spmv.py) moves O(n) per device
+per matvec on its all_gather path; this is the very-large-matrix scheme
+SURVEY.md §5 calls for — a 2-D (rows × cols) mesh where each matvec costs
+O(n/Pc) inbound + O(n/Pr) outbound per device (2n/√P on a square mesh):
+
+- the global vector lives in P = Pr·Pc row-major chunks of `csize`
+  entries, chunk c on device (c // Pc, c mod Pc) — spec P(("rows","cols"));
+- device (i,j) owns row block i (Pc consecutive chunks of rows) × the
+  columns whose chunks are ≡ j (mod Pc);
+- matvec: `all_gather` over the ROWS axis delivers exactly device (i,j)'s
+  column set (chunks j, Pc+j, 2Pc+j, … concatenated in order — column ids
+  are remapped to this gathered coordinate system at setup), a local
+  padded-row (ELL) SpMV produces the row-block partial, and ONE
+  `psum_scatter` over the COLS axis both reduces the Pc partials and
+  scatters the result straight back into the vector layout.
+
+No reshuffle collective is needed between iterations because the
+reduce-scatter's natural output placement (piece j of row block i =
+global chunk i·Pc+j) IS the vector sharding.
+
+The reference has no distributed path at all (its MPI is split into
+self-communicators, paralmond.cpp:94-102; SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from lsbench_tpu.matrix.csr import CsrMatrix
+from lsbench_tpu.parallel.mesh import COLS, ROWS
+from lsbench_tpu.solvers.base import SolveResult, Solver
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@dataclass
+class Spmv2dPlan:
+    """Host-built plan: (Pr, Pc, rloc, k) ELL blocks with gathered-frame
+    column ids."""
+    vals: jax.Array      # (Pr, Pc, rloc, k)
+    cols: jax.Array      # (Pr, Pc, rloc, k) int32 into the gathered vector
+    n: int
+    n_pad: int           # P * csize
+    csize: int           # vector chunk per device
+    rloc: int            # rows per device row-block (= Pc * csize)
+    pr: int
+    pc: int
+
+
+def build_2d_plan(A: CsrMatrix, pr: int, pc: int, dtype,
+                  align: int = 8) -> Spmv2dPlan:
+    n = A.nrows
+    P_ = pr * pc
+    csize = _round_up(-(-n // P_), align)
+    n_pad = csize * P_
+    rloc = csize * pc
+
+    r, c, v = A.to_coo()
+    i_dev = r // rloc
+    q = c // csize                       # global chunk of the column
+    j_dev = q % pc
+    lrow = r % rloc
+    # Gathered frame on device column j: chunks (j, pc+j, 2pc+j, …) in order.
+    lcol = (q // pc) * csize + (c % csize)
+
+    # Slot within each (device, local row) group.
+    group = (i_dev * pc + j_dev) * rloc + lrow
+    order = np.argsort(group, kind="stable")
+    g_sorted = group[order]
+    counts = np.bincount(g_sorted, minlength=P_ * rloc)
+    k = max(int(counts.max()), 1)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    slot = np.arange(r.size) - starts[g_sorted]
+
+    vals = np.zeros((pr, pc, rloc, k), dtype=np.float64)
+    cols = np.zeros((pr, pc, rloc, k), dtype=np.int32)
+    gi = g_sorted
+    vals[gi // (pc * rloc), (gi // rloc) % pc, gi % rloc, slot] = v[order]
+    cols[gi // (pc * rloc), (gi // rloc) % pc, gi % rloc, slot] = lcol[order]
+
+    return Spmv2dPlan(vals=jnp.asarray(vals, dtype=dtype),
+                      cols=jnp.asarray(cols), n=n, n_pad=n_pad,
+                      csize=csize, rloc=rloc, pr=pr, pc=pc)
+
+
+def spmv_2d_local(vals_l, cols_l, x_l):
+    """Inside shard_map over a (ROWS, COLS) mesh: one 2-D matvec.
+
+    vals_l/cols_l: (rloc, k) local block; x_l: (csize,) local chunk.
+    Returns (csize,) local y chunk.
+    """
+    xg = jax.lax.all_gather(x_l, ROWS, tiled=True)   # this device's col set
+    partial_y = jnp.sum(vals_l * xg[cols_l], axis=1)  # (rloc,)
+    return jax.lax.psum_scatter(partial_y, COLS, scatter_dimension=0,
+                                tiled=True)           # (csize,)
+
+
+class DistributedCg2d(Solver):
+    """Jacobi-preconditioned CG over a 2-D (rows × cols) mesh."""
+
+    name = "dist_cg2d"
+
+    def __init__(self, A: CsrMatrix, mesh: Mesh, dtype=jnp.float64,
+                 rtol=1e-8, maxiter=None, **params):
+        super().__init__(A, **params)
+        if set(mesh.axis_names) != {ROWS, COLS}:
+            raise ValueError(f"need a ({ROWS},{COLS}) mesh, got {mesh.axis_names}")
+        self.mesh = mesh
+        self.dtype = jnp.dtype(dtype)
+        self.rtol = float(rtol)
+        self.maxiter = (int(maxiter) if maxiter is not None
+                        else max(10 * A.nrows, 1000))
+        pr = mesh.shape[ROWS]
+        pc = mesh.shape[COLS]
+
+        plan = build_2d_plan(A, pr, pc, self.dtype)
+        self.plan = plan
+        self.n, self.n_pad = plan.n, plan.n_pad
+
+        blk_shard = NamedSharding(mesh, P(ROWS, COLS, None, None))
+        vec_shard = NamedSharding(mesh, P((ROWS, COLS)))
+        self.vec_shard = vec_shard
+        vals = jax.device_put(plan.vals, blk_shard)
+        cols = jax.device_put(plan.cols, blk_shard)
+
+        d = np.ones(self.n_pad)
+        diag = A.diagonal()
+        d[: self.n] = np.where(diag != 0.0, diag, 1.0)
+        inv_diag = jax.device_put(jnp.asarray(1.0 / d, dtype=self.dtype),
+                                  vec_shard)
+
+        rtol_c, maxiter_c = self.rtol, self.maxiter
+        both = (ROWS, COLS)
+
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(P(ROWS, COLS, None, None),
+                           P(ROWS, COLS, None, None),
+                           P(both), P(both)),
+                 out_specs=(P(both), P(), P()))
+        def _cg(vals_l, cols_l, inv_diag_l, b_l):
+            vals_l = vals_l.reshape(vals_l.shape[2:])
+            cols_l = cols_l.reshape(cols_l.shape[2:])
+
+            def fused_psum(*scalars):
+                s = jax.lax.psum(jnp.stack(scalars), both)
+                return tuple(s[i] for i in range(len(scalars)))
+
+            def matvec(p_l):
+                return spmv_2d_local(vals_l, cols_l, p_l)
+
+            (bb,) = fused_psum(jnp.vdot(b_l, b_l))
+            tol2 = (rtol_c ** 2) * bb
+
+            x0 = jnp.zeros_like(b_l)
+            r0 = b_l
+            z0 = inv_diag_l * r0
+            p0 = z0
+            rz0, rr0 = fused_psum(jnp.vdot(r0, z0), jnp.vdot(r0, r0))
+
+            def cond(s):
+                *_, rr, it = s
+                return jnp.logical_and(it < maxiter_c, rr > tol2)
+
+            def body(s):
+                x, r, p, rz, rr, it = s
+                Ap = matvec(p)
+                (pAp,) = fused_psum(jnp.vdot(p, Ap))
+                alpha = rz / pAp
+                x = x + alpha * p
+                r = r - alpha * Ap
+                z = inv_diag_l * r
+                rz_new, rr_new = fused_psum(jnp.vdot(r, z), jnp.vdot(r, r))
+                beta = rz_new / rz
+                p = z + beta * p
+                return (x, r, p, rz_new, rr_new, it + 1)
+
+            x, r, p, rz, rr, it = jax.lax.while_loop(
+                cond, body, (x0, r0, p0, rz0, rr0, jnp.int32(0)))
+            return x, jnp.sqrt(rr / jnp.where(bb > 0, bb, 1.0)), it
+
+        self._vals, self._cols, self._inv_diag = vals, cols, inv_diag
+        self._jit_cg = jax.jit(_cg)
+
+    def _pad_b(self, b):
+        b = jnp.asarray(b, dtype=self.dtype)
+        if b.shape[0] != self.n:
+            raise ValueError(f"b has {b.shape[0]} entries, expected {self.n}")
+        bp = jnp.zeros(self.n_pad, dtype=self.dtype).at[: self.n].set(b)
+        return jax.device_put(bp, self.vec_shard)
+
+    def solve(self, b) -> SolveResult:
+        x, relres, iters = self._jit_cg(self._vals, self._cols,
+                                        self._inv_diag, self._pad_b(b))
+        relres = float(relres)
+        x_host = np.asarray(x)[: self.n]
+        return SolveResult(x=x_host, iters=int(iters), relres=relres,
+                           converged=relres <= self.rtol,
+                           extra={"mesh": (self.plan.pr, self.plan.pc)})
+
+    def solve_fn(self):
+        vals, cols, inv_diag = self._vals, self._cols, self._inv_diag
+        jit_cg, pad = self._jit_cg, self._pad_b
+        return lambda b: jit_cg(vals, cols, inv_diag, pad(b))
+
+
+def spmv_2d(A: CsrMatrix, mesh: Mesh, x, dtype=jnp.float64):
+    """One-shot 2-D distributed y = A @ x (test/verification entry)."""
+    pr, pc = mesh.shape[ROWS], mesh.shape[COLS]
+    plan = build_2d_plan(A, pr, pc, dtype)
+    vec_shard = NamedSharding(mesh, P((ROWS, COLS)))
+    xp = jnp.zeros(plan.n_pad, dtype=dtype).at[: plan.n].set(
+        jnp.asarray(x, dtype=dtype))
+    xp = jax.device_put(xp, vec_shard)
+    vals = jax.device_put(plan.vals, NamedSharding(mesh, P(ROWS, COLS, None, None)))
+    cols = jax.device_put(plan.cols, NamedSharding(mesh, P(ROWS, COLS, None, None)))
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(ROWS, COLS, None, None), P(ROWS, COLS, None, None),
+                       P((ROWS, COLS))),
+             out_specs=P((ROWS, COLS)))
+    def _mv(vals_l, cols_l, x_l):
+        return spmv_2d_local(vals_l.reshape(vals_l.shape[2:]),
+                             cols_l.reshape(cols_l.shape[2:]), x_l)
+
+    y = jax.jit(_mv)(vals, cols, xp)
+    return np.asarray(y)[: plan.n]

@@ -36,3 +36,13 @@ def run_dryrun(n_devices: int) -> None:
     x2 = np.asarray(res2.x)
     r2 = np.linalg.norm(b - A.matvec(x2)) / np.linalg.norm(b)
     assert res2.converged and r2 < 1e-8, (res2.iters, res2.relres, r2)
+
+    # 2-D block partition (all_gather over rows + psum_scatter over cols).
+    if n_devices % 2 == 0 and n_devices >= 4:
+        from lsbench_tpu.parallel.dist2d import DistributedCg2d
+        from lsbench_tpu.parallel.mesh import make_mesh_2d
+        mesh2 = make_mesh_2d(2, n_devices // 2)
+        res3 = DistributedCg2d(A, mesh2, dtype=jnp.float64, rtol=1e-10).solve(b)
+        x3 = np.asarray(res3.x)
+        r3 = np.linalg.norm(b - A.matvec(x3)) / np.linalg.norm(b)
+        assert res3.converged and r3 < 1e-8, (res3.iters, res3.relres, r3)

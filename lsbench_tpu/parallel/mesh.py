@@ -13,6 +13,16 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 ROWS = "rows"
+COLS = "cols"
+
+
+def make_mesh_2d(pr: int, pc: int, devices=None) -> Mesh:
+    """2-D (rows × cols) mesh for block-partitioned SpMV (parallel/dist2d.py)."""
+    if devices is None:
+        devices = jax.devices()
+    if len(devices) < pr * pc:
+        raise ValueError(f"requested {pr}x{pc} devices, have {len(devices)}")
+    return jax.make_mesh((pr, pc), (ROWS, COLS), devices=devices[: pr * pc])
 
 
 def make_row_mesh(n_devices: int | None = None, devices=None) -> Mesh:

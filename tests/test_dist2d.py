@@ -1,0 +1,68 @@
+"""2-D block-partitioned distributed SpMV / CG tests (8 virtual devices)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from lsbench_tpu.matrix.csr import CsrMatrix
+from lsbench_tpu.matrix.generate import poisson_2d, random_spd
+from lsbench_tpu.parallel.dist2d import DistributedCg2d, build_2d_plan, spmv_2d
+from lsbench_tpu.parallel.mesh import make_mesh_2d
+
+from conftest import make_rhs
+
+pytestmark = pytest.mark.skipif(jax.device_count() < 8,
+                                reason="needs 8 virtual devices")
+
+
+@pytest.mark.parametrize("pr,pc", [(2, 4), (4, 2), (8, 1), (1, 8)])
+def test_spmv_2d_matches_host(pr, pc):
+    A = poisson_2d(13)  # n=169, deliberately not divisible by 8
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(A.nrows)
+    mesh = make_mesh_2d(pr, pc)
+    y = spmv_2d(A, mesh, x)
+    np.testing.assert_allclose(y, A.matvec(x), rtol=1e-12, atol=1e-12)
+
+
+def test_spmv_2d_dense_random():
+    # Unstructured pattern: exercises cross-block column chunks.
+    A = random_spd(97, nnz_per_row=15, seed=7)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(A.nrows)
+    mesh = make_mesh_2d(2, 4)
+    y = spmv_2d(A, mesh, x)
+    np.testing.assert_allclose(y, A.matvec(x), rtol=1e-11, atol=1e-11)
+
+
+@pytest.mark.parametrize("pr,pc", [(2, 4), (4, 2)])
+def test_cg_2d_converges_and_matches(pr, pc):
+    A = poisson_2d(12)
+    b = make_rhs(A.nrows)
+    mesh = make_mesh_2d(pr, pc)
+    res = DistributedCg2d(A, mesh, rtol=1e-10).solve(b)
+    assert res.converged
+    x_ref = np.linalg.solve(A.to_dense(), b)
+    np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-6, atol=1e-8)
+
+
+def test_cg_2d_matches_1d_iterates():
+    # Same math as the 1-D distributed CG: iteration counts agree.
+    from lsbench_tpu.parallel.dist_cg import DistributedCg
+    from lsbench_tpu.parallel.mesh import make_row_mesh
+    A = poisson_2d(10)
+    b = make_rhs(A.nrows)
+    res2 = DistributedCg2d(A, make_mesh_2d(2, 4), rtol=1e-9).solve(b)
+    res1 = DistributedCg(A, make_row_mesh(8), rtol=1e-9).solve(b)
+    assert res2.converged and res1.converged
+    assert abs(res2.iters - res1.iters) <= 2
+    np.testing.assert_allclose(np.asarray(res2.x), np.asarray(res1.x),
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_plan_covers_all_nnz():
+    A = poisson_2d(9)
+    plan = build_2d_plan(A, 2, 4, jnp.float64)
+    assert float(np.abs(np.asarray(plan.vals)).sum()) == pytest.approx(
+        float(np.abs(A.vals).sum()), rel=1e-14)
