@@ -87,6 +87,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(cg / amg / hypre / amgx / paralmond; use "
                         "XLA_FLAGS=--xla_force_host_platform_device_count=N "
                         "with --platform cpu to simulate)")
+    p.add_argument("--mesh", default=None, metavar="RxC",
+                   help="2-D device mesh for --devices runs, e.g. 2x4 "
+                        "(cg only: all_gather over rows + psum_scatter "
+                        "over cols, parallel/dist2d.py)")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (fail fast on NaN/Inf in any "
                         "kernel — the sanitizer role, SURVEY.md §5)")
@@ -259,6 +263,26 @@ def _make_distributed(solver_name: str, A, args, params):
         print("--devices: fp32_ir is single-chip only; use fp64/fp32.",
               file=sys.stderr)
         return None
+
+    if args.mesh:
+        if solver_name not in ("cg", "cg_ir") or args.precond in (
+                "amg", "amg_classical"):
+            print("--mesh RxC currently supports the cg solver with "
+                  "point/none preconditioning.", file=sys.stderr)
+            return None
+        from lsbench_tpu.parallel.dist2d import DistributedCg2d
+        from lsbench_tpu.parallel.mesh import make_mesh_2d
+        try:
+            pr, pc = (int(t) for t in args.mesh.lower().split("x"))
+        except ValueError:
+            print(f"--mesh expects RxC (e.g. 2x4), got '{args.mesh}'",
+                  file=sys.stderr)
+            return None
+        if pr * pc != args.devices:
+            print(f"--mesh {args.mesh} needs {pr*pc} devices but "
+                  f"--devices={args.devices}", file=sys.stderr)
+            return None
+        return DistributedCg2d(A, make_mesh_2d(pr, pc), dtype=dtype, **kw)
 
     amg_like = {"amg", "hypre", "amgx", "paralmond"}
     if solver_name in amg_like:

@@ -175,6 +175,149 @@ class BsrMatrix:
 
 @jax.tree_util.register_pytree_node_class
 @dataclass
+class BsrClassed:
+    """Class-padded BSR: supergroups (GPS row groups) are bucketed into a
+    few slot-width classes instead of all padding to the global max S.
+
+    BsrMatrix pads every group to max_g S_g — one dense row region pads the
+    whole matrix (xn3b_A_10: 46.8 MB streamed vs 21.3 MB of occupied
+    blocks). Classing keeps the padded kernel's strengths (slot
+    accumulation, ONE cross-lane reduction per group) while cutting the
+    stream to Σ_sg S_class(sg): one pallas_call per class, each writing its
+    output tiles at scalar-prefetched dynamic positions, chained through
+    `input_output_aliases` so untouched tiles pass through.
+
+    Class thresholds are chosen by exact minimization of padded bytes over
+    the per-supergroup slot counts.
+
+    Measured tradeoff (v5e, xn3b_A_10): 34.9 MB streamed vs BsrMatrix's
+    46.8 MB, but each extra pallas_call costs ~10 µs of pipeline
+    fill/drain, so at reference scale (n ≈ 6k) the uniform layout is
+    faster (65 µs vs 80 µs). Classing wins when the padding ratio or the
+    matrix is much larger (one dense row region otherwise pads every
+    group globally).
+    """
+
+    blocks: list          # per class: (n_sg_c*GPS, S_c*br, BC)
+    bcols: list           # per class: (n_sg_c*GPS*S_c,) int32 flat
+    oidx: list            # per class: (n_sg_c,) int32 supergroup out position
+    nrows: int
+    ncols: int
+    nnz: int
+    br: int
+    n_groups: int         # padded total (multiple of GPS)
+
+    def tree_flatten(self):
+        return ((self.blocks, self.bcols, self.oidx),
+                (self.nrows, self.ncols, self.nnz, self.br, self.n_groups))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @property
+    def n_col_blocks(self) -> int:
+        return _round_up(self.ncols, BC) // BC
+
+    @property
+    def dtype(self):
+        return self.blocks[0].dtype
+
+    @property
+    def bytes_streamed(self) -> int:
+        return sum(b.size * b.dtype.itemsize for b in self.blocks)
+
+    @staticmethod
+    def from_csr(A: CsrMatrix, dtype=jnp.float32, n_classes: int = 3,
+                 block_rows: int = BR) -> "BsrClassed":
+        from itertools import combinations
+
+        BRl = block_rows
+        n_groups = _round_up(_round_up(A.nrows, BRl) // BRl, GPS)
+        r, c, v = A.to_coo()
+        keys = (r // BRl) * (1 << 32) + c // BC
+        order = np.argsort(keys, kind="stable")
+        keys_s = keys[order]
+        uniq_mask = np.empty(keys_s.size, dtype=bool)
+        uniq_mask[0] = True
+        uniq_mask[1:] = keys_s[1:] != keys_s[:-1]
+        pair_id = np.cumsum(uniq_mask) - 1
+        uniq_keys = keys_s[uniq_mask]
+        ugr = (uniq_keys >> 32).astype(np.int64)
+        ucb = (uniq_keys & 0xFFFFFFFF).astype(np.int64)
+        counts = np.bincount(ugr, minlength=n_groups)
+        group_start = np.zeros(n_groups + 1, dtype=np.int64)
+        np.cumsum(counts, out=group_start[1:])
+        slot_of_pair = np.arange(ugr.size) - group_start[ugr]
+
+        n_sg = n_groups // GPS
+        sg_S = counts.reshape(n_sg, GPS).max(axis=1)
+        smax = max(int(sg_S.max()), 1)
+
+        # Exact byte-minimizing thresholds (small unique-S sets: brute force).
+        uniq_S = [int(s) for s in np.unique(sg_S) if s > 0]
+        best = (smax,)
+        if len(uniq_S) > 1 and n_classes > 1:
+            best_bytes = float("inf")
+            for k in range(1, min(n_classes, len(uniq_S)) ):
+                for combo in combinations([s for s in uniq_S if s < smax], k):
+                    ths = np.array(sorted(combo) + [smax])
+                    cost = ths[np.searchsorted(ths, sg_S)].sum()
+                    if cost < best_bytes:
+                        best_bytes, best = cost, tuple(ths)
+        thresholds = list(best)
+
+        cls_of_sg = np.searchsorted(np.array(thresholds), sg_S)
+        blocks_l, bcols_l, oidx_l = [], [], []
+        sg_of_pair = ugr // GPS
+        rs, cs, vs = r[order], c[order], v[order]
+        for ci, S_c in enumerate(thresholds):
+            sgs = np.flatnonzero(cls_of_sg == ci)
+            if sgs.size == 0:
+                continue
+            local_of_sg = np.full(n_sg, -1, dtype=np.int64)
+            local_of_sg[sgs] = np.arange(sgs.size)
+            blocks = np.zeros((sgs.size * GPS, S_c * BRl, BC), dtype=np.float64)
+            bcols = np.zeros((sgs.size * GPS, S_c), dtype=np.int32)
+            pmask = local_of_sg[sg_of_pair] >= 0
+            lg = local_of_sg[sg_of_pair[pmask]] * GPS + ugr[pmask] % GPS
+            bcols[lg, slot_of_pair[pmask]] = ucb[pmask]
+            nmask = pmask[pair_id]  # nnz whose pair belongs to this class
+            pr = pair_id[nmask]
+            lgn = local_of_sg[sg_of_pair[pr]] * GPS + ugr[pr] % GPS
+            blocks[lgn, slot_of_pair[pr] * BRl + (rs[nmask] % BRl),
+                   cs[nmask] % BC] = vs[nmask]
+            blocks_l.append(jnp.asarray(blocks, dtype=dtype))
+            bcols_l.append(jnp.asarray(bcols.reshape(-1)))
+            oidx_l.append(jnp.asarray(sgs, dtype=jnp.int32))
+
+        return BsrClassed(blocks=blocks_l, bcols=bcols_l, oidx=oidx_l,
+                          nrows=A.nrows, ncols=A.ncols, nnz=A.nnz, br=BRl,
+                          n_groups=n_groups)
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        from lsbench_tpu.ops.spmv_pallas import spmv_bsr_classed
+        return spmv_bsr_classed(self, x)
+
+    def matvec_reference(self, x: jax.Array) -> jax.Array:
+        """jnp oracle of the same math."""
+        x_pad = jnp.zeros(self.n_col_blocks * BC, self.dtype).at[: self.ncols].set(
+            x.astype(self.dtype))
+        xb = x_pad.reshape(self.n_col_blocks, BC)
+        y = jnp.zeros((self.n_groups, self.br), self.dtype)
+        for blocks, bcols, oidx in zip(self.blocks, self.bcols, self.oidx):
+            ng = blocks.shape[0]
+            S = blocks.shape[1] // self.br
+            gathered = xb[bcols.reshape(ng, S)]            # (ng, S, 128)
+            blk = blocks.reshape(ng, S, self.br, BC)
+            part = jnp.einsum("gsrc,gsc->gr", blk, gathered)
+            rows = (oidx[:, None] * GPS + jnp.arange(GPS)[None, :]).reshape(-1)
+            y = y.at[rows].set(part)
+        return y.reshape(-1)[: self.nrows]
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
 class BsrCompact:
     """Exact-block BSR: only the occupied (8-row, 128-col) blocks are
     stored, group-major, with per-block (group id, col-block id) metadata.

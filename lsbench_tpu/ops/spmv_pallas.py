@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from lsbench_tpu.matrix.bsr import BC, BR, GPS, BsrMatrix
+from lsbench_tpu.matrix.bsr import BC, BR, GPS, BsrClassed, BsrMatrix
 
 
 def _kernel_onehot(x_ref, bcols_ref, blocks_ref, o_ref, *, slots: int):
@@ -174,6 +174,72 @@ def _spmv_bsr_selector_call(selector, x_table, blocks, br=BR,
         )(x_table, selector, blocks)
 
 
+def _kernel_classed(bcols_ref, oidx_ref, x_ref, blocks_ref, y_in_ref, o_ref,
+                    *, slots: int, br: int):
+    """Same slot-accumulation body as `_kernel`, but the output tile lands
+    at a scalar-prefetched dynamic supergroup position (oidx_ref drives the
+    out index_map, not the kernel body); y_in_ref is the aliased carry
+    holding the other classes' tiles and is never read here."""
+    del oidx_ref, y_in_ref
+    step = pl.program_id(0)
+    for gl in range(GPS):
+        acc = jnp.zeros((br, BC), dtype=jnp.float32)
+        for s in range(slots):
+            cb = bcols_ref[(step * GPS + gl) * slots + s]
+            xb = x_ref[cb, :]
+            blk = blocks_ref[gl, s * br:(s + 1) * br, :]
+            acc = acc + blk * xb[None, :]
+        o_ref[gl] = jnp.sum(acc, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("br", "n_groups"))
+def _spmv_bsr_classed_call(bcols, oidx, x_table, blocks, y_in, br, n_groups):
+    n_loc, sb, _ = blocks.shape
+    slots = sb // br
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_loc // GPS,),
+        in_specs=[
+            pl.BlockSpec((x_table.shape[0], BC), lambda g, bc, oi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GPS, sb, BC), lambda g, bc, oi: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # aliased carry, untouched
+        ],
+        out_specs=pl.BlockSpec((GPS, br), lambda g, bc, oi: (oi[g], 0),
+                               memory_space=pltpu.VMEM),
+    )
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            functools.partial(_kernel_classed, slots=slots, br=br),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n_groups, br), jnp.float32),
+            input_output_aliases={4: 0},
+        )(bcols, oidx, x_table, blocks, y_in)
+
+
+def spmv_bsr_classed(A: BsrClassed, x: jax.Array,
+                     interpret: bool | None = None) -> jax.Array:
+    """y = A @ x over the class-padded BSR layout (f32, TPU).
+
+    Off-TPU (or interpret mode) this falls back to the jnp oracle — the
+    aliasing pass-through semantics the chained calls rely on are a TPU
+    buffer-donation behavior the interpreter doesn't model."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if interpret:
+        return A.matvec_reference(x)
+    n_cb = A.n_col_blocks
+    x_pad = jnp.zeros(n_cb * BC, dtype=jnp.float32).at[: A.ncols].set(
+        x.astype(jnp.float32))
+    x_table = x_pad.reshape(n_cb, BC)
+    y = jnp.zeros((A.n_groups, A.br), jnp.float32)
+    for bcols, oidx, blocks in zip(A.bcols, A.oidx, A.blocks):
+        y = _spmv_bsr_classed_call(bcols, oidx, x_table, blocks, y,
+                                   br=A.br, n_groups=A.n_groups)
+    return y.reshape(-1)[: A.nrows]
+
+
 def _kernel_compact(idx_ref, x_ref, blocks_ref, o_ref, *, bps: int):
     """Exact-block variant: K blocks per step, whole output resident in
     VMEM, per-block scatter-accumulate into its row group.
@@ -246,11 +312,11 @@ def spmv_bsr(A: BsrMatrix, x: jax.Array, interpret: bool | None = None,
         x.astype(jnp.float32))
     x_table = x_pad.reshape(n_cb, BC)
     if variant == "auto":
-        # Selector (host-precomputed one-hot + MXU gather matmul) beats the
-        # scalar-prefetch kernel whenever the selector is available: all
-        # remaining slices are static, so nothing serializes on the scalar
-        # unit. Fall back to prefetch for layouts without a selector.
-        variant = "selector" if A.sel is not None else "prefetch"
+        # Prefetch wins on v5e: the dynamic x loads pipeline at ~5 cycles
+        # each and hide entirely under the block DMA (measured 65 µs vs
+        # 75 µs selector on xn3b_A_10 — the selector's extra stream and
+        # HIGHEST-precision gather matmul cost more than the loads).
+        variant = "prefetch"
     if variant == "selector":
         y = _spmv_bsr_selector_call(A.sel, x_table, A.blocks, br=A.br,
                                     interpret=interpret)

@@ -98,3 +98,28 @@ def test_cg_bsr_xla_layout():
     assert res.converged
     np.testing.assert_allclose(np.asarray(res.x),
                                np.linalg.solve(A.to_dense(), b), rtol=1e-7)
+
+
+def test_bsr_classed_reference_impl():
+    from lsbench_tpu.matrix.bsr import BsrClassed
+    from lsbench_tpu.ops.spmv_pallas import spmv_bsr_classed
+    A = poisson_2d(17)  # big enough for several slot classes
+    B = BsrClassed.from_csr(A, n_classes=3)
+    assert B.bytes_streamed <= BsrMatrix.from_csr(A).bytes_streamed
+    x = np.random.default_rng(4).random(A.ncols)
+    yref = A.matvec(x)
+    for y in (B.matvec_reference(jnp.asarray(x)),
+              spmv_bsr_classed(B, jnp.asarray(x))):  # CPU → oracle fallback
+        rel = np.abs(np.asarray(y) - yref) / (1.0 + np.abs(yref))
+        assert rel.max() < 1e-5
+
+
+def test_bsr_classed_covers_all_groups():
+    from lsbench_tpu.matrix.bsr import GPS, BsrClassed
+    A = poisson_2d(11)
+    B = BsrClassed.from_csr(A, n_classes=4)
+    sgs = np.concatenate([np.asarray(o) for o in B.oidx])
+    assert sorted(sgs.tolist()) == list(range(B.n_groups // GPS))
+    # every nnz lands in exactly one class
+    total = sum(float(np.abs(np.asarray(b)).sum()) for b in B.blocks)
+    assert total == pytest.approx(float(np.abs(A.vals).sum()), rel=1e-6)

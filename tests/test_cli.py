@@ -40,3 +40,28 @@ def test_cli_invalid_ordering_defaults_amd(tiny_matrix_file, capsys):
 def test_cli_rejects_fp16(tiny_matrix_file, capsys):
     rc = main(["--matrix", str(tiny_matrix_file), "--precision", "fp16"])
     assert rc == 1
+
+
+def test_cli_mesh_2d(tiny_matrix_file, capsys):
+    from lsbench_tpu.harness.cli import main
+    import jax
+    if jax.device_count() < 8:
+        import pytest
+        pytest.skip("needs 8 virtual devices")
+    rc = main(["--matrix", str(tiny_matrix_file), "--solver", "cg",
+               "--devices", "8", "--mesh", "2x4", "--trials", "2",
+               "--rtol", "1e-10", "--json"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    import json as _json
+    rec = _json.loads(out.strip().splitlines()[-1])
+    assert rec["converged"]
+
+
+def test_cli_scale_module(tiny_matrix_file, capsys):
+    from lsbench_tpu.harness.scale import main
+    rc = main(["--matrix", str(tiny_matrix_file), "--devices", "1,2",
+               "--iters", "5", "--reps", "1", "--json"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "efficiency" in out and "1x1" in out
