@@ -30,7 +30,8 @@ class CgIrSolver(Solver):
 
     def __init__(self, A: CsrMatrix, rtol=1e-10, inner_rtol=1e-5,
                  maxiter=None, max_refine=6, precond="jacobi",
-                 layout="auto", ordering="none", dtype=None, **params):
+                 layout="auto", ordering="none", dtype=None,
+                 precond_params=None, **params):
         super().__init__(A, **params)
         del dtype  # precision structure is fixed: f32 inner / f64 outer
         self.rtol = float(rtol)
@@ -51,7 +52,8 @@ class CgIrSolver(Solver):
         apply32, self._op, self.stream_bytes = build_matvec(
             Ap, jnp.float32, self.layout)
         self._ell64 = EllMatrix.from_csr(Ap, dtype=jnp.float64)
-        self._pstate, papply = get_preconditioner(precond)(Ap, jnp.float32)
+        self._pstate, papply = get_preconditioner(precond)(
+            Ap, jnp.float32, **(precond_params or {}))
 
         rtol_c, inner_rtol_c = self.rtol, self.inner_rtol
         maxiter_c, max_refine_c = self.maxiter, self.max_refine

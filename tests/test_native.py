@@ -124,3 +124,25 @@ def test_native_chol_numeric_not_spd():
             sc.numeric_factor(A, lo, lc)
     except NativeUnavailable:
         pytest.skip("no native toolchain")
+
+
+def test_native_spgemm_matches_numpy_fallback():
+    import numpy as np
+    from lsbench_tpu.matrix.generate import random_spd
+    from lsbench_tpu.ops import spgemm as sg
+
+    A = random_spd(150, nnz_per_row=9, seed=1)
+    C_native = sg.spgemm(A, A)
+    np.testing.assert_allclose(C_native.to_dense(),
+                               A.to_dense() @ A.to_dense(), atol=1e-10)
+    # rectangular: A (n x n) @ P (n x nc)
+    from lsbench_tpu.matrix.csr import CsrMatrix
+    rng = np.random.default_rng(0)
+    n, nc = 150, 40
+    rows = np.arange(n)
+    cols = rng.integers(0, nc, n)
+    P = CsrMatrix.from_coo(rows, cols, rng.random(n), nrows=n, ncols=nc)
+    C2 = sg.spgemm(A, P)
+    np.testing.assert_allclose(C2.to_dense(), A.to_dense() @ P.to_dense(),
+                               atol=1e-10)
+    assert C2.shape == (n, nc)
