@@ -36,7 +36,7 @@ class DistributedCg(Solver):
 
     def __init__(self, A: CsrMatrix, mesh: Mesh, dtype=jnp.float64,
                  rtol=1e-8, maxiter=None, strategy="auto", row_align: int = 8,
-                 **params):
+                 precond: str = "jacobi", block_size: int = 16, **params):
         super().__init__(A, **params)
         self.mesh = mesh
         self.dtype = jnp.dtype(dtype)
@@ -65,19 +65,51 @@ class DistributedCg(Solver):
         vals = jax.device_put(plan.vals, row_shard)
         cols = jax.device_put(plan.cols, row_shard)
 
-        # Jacobi preconditioner, padded+sharded.
-        d = np.ones(self.n_pad)
-        diag = A.diagonal()
-        d[: self.n] = np.where(diag != 0.0, diag, 1.0)
-        inv_diag = jax.device_put(jnp.asarray(1.0 / d, dtype=self.dtype),
-                                  vec_shard)
+        # Preconditioner, padded+sharded. "jacobi": pointwise 1/diag.
+        # "block_jacobi": dense diagonal blocks inverted at setup — blocks
+        # never cross shard boundaries (block_size divides nloc, a multiple
+        # of row_align), so the apply is purely local (no collective).
+        self.precond = precond
+        if precond == "block_jacobi":
+            k = int(block_size)
+            while plan.nloc % k:
+                k //= 2  # row_align=8 guarantees k ∈ {8,4,2,1} divides nloc
+            nb = self.n_pad // k
+            blocks = np.zeros((nb, k, k))
+            blocks[:, np.arange(k), np.arange(k)] = 1.0
+            r_, c_, v_ = A.to_coo()
+            same = (r_ // k) == (c_ // k)
+            rb, cb_, vb = r_[same], c_[same], v_[same]
+            blocks[rb // k, rb % k, cb_ % k] = vb
+            pstate = jax.device_put(
+                jnp.asarray(np.linalg.inv(blocks), dtype=self.dtype),
+                NamedSharding(mesh, P(ROWS, None, None)))
+            pspec = P(ROWS, None, None)
+
+            def papply(pstate_l, r_vec):
+                z = jnp.einsum("bij,bj->bi", pstate_l,
+                               r_vec.reshape(pstate_l.shape[0], k))
+                return z.reshape(-1)
+        elif precond == "jacobi":
+            d = np.ones(self.n_pad)
+            diag = A.diagonal()
+            d[: self.n] = np.where(diag != 0.0, diag, 1.0)
+            pstate = jax.device_put(jnp.asarray(1.0 / d, dtype=self.dtype),
+                                    vec_shard)
+            pspec = P(ROWS)
+
+            def papply(pstate_l, r_vec):
+                return pstate_l * r_vec
+        else:
+            raise ValueError(f"unknown distributed preconditioner '{precond}'"
+                             " (jacobi | block_jacobi)")
 
         rtol_c, maxiter_c = self.rtol, self.maxiter
         halo = plan.halo
         use_halo = strategy == "halo"
 
         @partial(shard_map, mesh=mesh,
-                 in_specs=(P(ROWS, None), P(ROWS, None), P(ROWS), P(ROWS)),
+                 in_specs=(P(ROWS, None), P(ROWS, None), pspec, P(ROWS)),
                  out_specs=(P(ROWS), P(), P()))
         def _cg(vals_l, cols_l, inv_diag_l, b_l):
             def fused_psum(*scalars):
@@ -97,7 +129,7 @@ class DistributedCg(Solver):
 
             x0 = jnp.zeros_like(b_l)
             r0 = b_l
-            z0 = inv_diag_l * r0
+            z0 = papply(inv_diag_l, r0)
             p0 = z0
             rz0, rr0 = fused_psum(jnp.vdot(r0, z0), jnp.vdot(r0, r0))
 
@@ -112,7 +144,7 @@ class DistributedCg(Solver):
                 alpha = rz / pAp
                 x = x + alpha * p
                 r = r - alpha * Ap
-                z = inv_diag_l * r
+                z = papply(inv_diag_l, r)
                 rz_new, rr_new = fused_psum(jnp.vdot(r, z), jnp.vdot(r, r))
                 beta = rz_new / rz
                 p = z + beta * p
@@ -122,7 +154,7 @@ class DistributedCg(Solver):
                 cond, body, (x0, r0, p0, rz0, rr0, jnp.int32(0)))
             return x, jnp.sqrt(rr / jnp.where(bb > 0, bb, 1.0)), it
 
-        self._vals, self._cols, self._inv_diag = vals, cols, inv_diag
+        self._vals, self._cols, self._inv_diag = vals, cols, pstate
         self._jit_cg = jax.jit(_cg)
 
     def _pad_b(self, b):

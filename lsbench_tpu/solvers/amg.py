@@ -166,6 +166,10 @@ class AmgOptions:
     reorder_coarse: bool = False  # RCM-renumber each coarse level (keeps
     #                               banding so distributed halo exchange
     #                               stays narrow — parallel/dist_amg.py)
+    dense_level_bytes: int = 8 << 20  # coarse levels whose dense operator
+    #                               is at most this (and not much bigger
+    #                               than the sparse stream) use one MXU
+    #                               matvec instead of the pallas kernel
 
 
 def _coarsen_level(Al: CsrMatrix, opts: AmgOptions, level: int
@@ -267,6 +271,18 @@ def coarse_cholesky(Al: CsrMatrix, dtype) -> jax.Array:
     return jnp.asarray(L, dtype=dtype)
 
 
+def _bsr_bytes(M: CsrMatrix, itemsize: int = 4) -> int:
+    """Streamed bytes of the padded-BSR layout without building it."""
+    from lsbench_tpu.matrix.bsr import BC, BR, GPS
+    r, c, _ = M.to_coo()
+    keys = (r // BR).astype(np.int64) * (1 << 32) + c // BC
+    uq = np.unique(keys)
+    groups = -(-M.nrows // BR)
+    ng = -(-groups // GPS) * GPS
+    cnt = np.bincount((uq >> 32).astype(np.int64), minlength=ng)
+    return int(ng * max(int(cnt.max()), 1) * BR * BC * itemsize)
+
+
 def build_hierarchy(A: CsrMatrix, opts: AmgOptions, dtype, layout: str):
     """Host setup → (level_params, level_aps, coarse_factor).
 
@@ -276,11 +292,27 @@ def build_hierarchy(A: CsrMatrix, opts: AmgOptions, dtype, layout: str):
     Splitting the two keeps the hierarchy out of the executable's captured
     constants (which cost per dispatch and bloat the binary)."""
     mats, Al = build_matrix_hierarchy(A, opts)
+
+    def per_level(M):
+        # Measured on v5e (xn3b_A_10 hierarchy): inside one compiled loop
+        # the pallas call cost amortizes away (level-1 n=524 BSR matvec =
+        # 3.3 µs), while a dense HIGHEST-precision MXU matvec on the same
+        # level costs 23 µs — so coarse levels KEEP the sparse layout.
+        # Dense only when explicitly far cheaper by bytes (degenerate
+        # near-dense coarse operators).
+        if layout not in ("bsr", "bsr_xla"):
+            return layout
+        dense_bytes = M.nrows * M.ncols * jnp.dtype(dtype).itemsize
+        if (dense_bytes <= opts.dense_level_bytes
+                and dense_bytes * 4 < _bsr_bytes(M)):
+            return "dense"
+        return layout
+
     level_params, level_aps = [], []
     for m in mats:
-        a_ap, a_op, _ = build_matvec(m["A"], dtype, layout)
-        p_ap, p_op, _ = build_matvec(m["P"], dtype, layout)
-        r_ap, r_op, _ = build_matvec(m["R"], dtype, layout)
+        a_ap, a_op, _ = build_matvec(m["A"], dtype, per_level(m["A"]))
+        p_ap, p_op, _ = build_matvec(m["P"], dtype, per_level(m["P"]))
+        r_ap, r_op, _ = build_matvec(m["R"], dtype, per_level(m["R"]))
         level_params.append(dict(a=a_op, p=p_op, r=r_op,
                                  inv_diag=jnp.asarray(m["dinv"], dtype=dtype)))
         level_aps.append(dict(a=a_ap, p=p_ap, r=r_ap, rho=m["rho"],

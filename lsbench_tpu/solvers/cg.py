@@ -86,6 +86,14 @@ def build_matvec(A: CsrMatrix, dtype, layout: str):
     captured jit constants, which bloat the executable and add
     per-dispatch cost proportional to their size.
     """
+    if layout == "dense":
+        # Small operators (coarse AMG levels): one MXU matvec beats any
+        # sparse path — no pallas fixed cost, no gathers. HIGHEST precision
+        # because TPU matmuls otherwise round operands to bf16.
+        op = jnp.asarray(A.to_dense(), dtype=dtype)
+        hp = jax.lax.Precision.HIGHEST
+        return (lambda op, v: jnp.matmul(op, v.astype(op.dtype), precision=hp)
+                ), op, op.size * op.dtype.itemsize
     if layout == "bsr":
         from lsbench_tpu.matrix.bsr import BsrMatrix
         from lsbench_tpu.ops.spmv_pallas import spmv_bsr

@@ -203,3 +203,19 @@ def test_jacobi_interp_beats_direct():
 def test_hypre_alias_uses_jacobi_interp():
     _, params = get_solver("hypre")
     assert params["interp"] == "jacobi"
+
+
+def test_amg_dense_coarse_levels():
+    # Per-level layout selection: with bsr_xla base, coarse levels flip to
+    # the dense MXU matvec; results must match the ell-layout solve.
+    import numpy as np
+    from lsbench_tpu.matrix.generate import poisson_2d
+    from lsbench_tpu.solvers.base import get_solver
+    A = poisson_2d(20)
+    b = np.arange(A.nrows, dtype=np.float64)
+    cls, params = get_solver("cg")
+    params.update(rtol=1e-10, precond="amg", layout="bsr_xla")
+    res = cls(A, **params).solve(b)
+    assert res.converged
+    x_ref = np.linalg.solve(A.to_dense(), b)
+    np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-6, atol=1e-8)

@@ -99,3 +99,25 @@ def test_dist_bicgstab_matches_single(mesh8):
     cls, params = get_solver("bicgstab")
     res1 = cls(A, rtol=1e-10, **params).solve(b)
     assert abs(res.iters - res1.iters) <= 3  # same recurrence, same dots
+
+
+def test_dist_cg_block_jacobi():
+    import numpy as np
+    from lsbench_tpu.matrix.generate import poisson_2d
+    from lsbench_tpu.parallel.dist_cg import DistributedCg
+    from lsbench_tpu.parallel.mesh import make_row_mesh
+    import jax
+    if jax.device_count() < 4:
+        import pytest
+        pytest.skip("needs 4 virtual devices")
+    A = poisson_2d(12)
+    b = np.arange(A.nrows, dtype=np.float64)
+    mesh = make_row_mesh(4)
+    res_bj = DistributedCg(A, mesh, rtol=1e-10, precond="block_jacobi").solve(b)
+    res_j = DistributedCg(A, mesh, rtol=1e-10, precond="jacobi").solve(b)
+    assert res_bj.converged and res_j.converged
+    # Comparable strength on a 5-point stencil; must not be much weaker.
+    assert res_bj.iters <= res_j.iters + 5
+    x_ref = np.linalg.solve(A.to_dense(), b)
+    np.testing.assert_allclose(np.asarray(res_bj.x), x_ref, rtol=1e-6,
+                               atol=1e-8)
