@@ -175,6 +175,57 @@ class BsrMatrix:
 
 @jax.tree_util.register_pytree_node_class
 @dataclass
+class BsrDf64:
+    """Double-float BSR: the operator held as (hi, lo) f32 block pairs with
+    hi + lo == f64(A) to ~2⁻⁴⁸. Feeds the compensated Pallas SpMV
+    (ops/spmv_pallas.py::spmv_bsr_df64) — the fast TPU f64 path; plain
+    emulated-f64 SpMVs (gather ELL / selector matmul) cost ~100x more."""
+
+    blocks_hi: jax.Array    # (n_groups, S*br, 128) f32
+    blocks_lo: jax.Array    # (n_groups, S*br, 128) f32
+    block_cols: jax.Array   # (n_groups, S) int32
+    nrows: int
+    ncols: int
+    nnz: int
+    br: int = BR
+
+    def tree_flatten(self):
+        return ((self.blocks_hi, self.blocks_lo, self.block_cols),
+                (self.nrows, self.ncols, self.nnz, self.br))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @property
+    def n_groups(self) -> int:
+        return self.blocks_hi.shape[0]
+
+    @property
+    def n_col_blocks(self) -> int:
+        return _round_up(self.ncols, BC) // BC
+
+    @property
+    def bytes_streamed(self) -> int:
+        return (self.blocks_hi.size + self.blocks_lo.size) * 4
+
+    @staticmethod
+    def from_csr(A: CsrMatrix, block_rows: int = BR) -> "BsrDf64":
+        base = BsrMatrix.from_csr(A, dtype=jnp.float64, block_rows=block_rows)
+        b64 = np.asarray(base.blocks)
+        hi = b64.astype(np.float32)
+        lo = (b64 - hi.astype(np.float64)).astype(np.float32)
+        return BsrDf64(blocks_hi=jnp.asarray(hi), blocks_lo=jnp.asarray(lo),
+                       block_cols=base.block_cols, nrows=A.nrows,
+                       ncols=A.ncols, nnz=A.nnz, br=block_rows)
+
+    def matvec(self, x: jax.Array) -> jax.Array:
+        from lsbench_tpu.ops.spmv_pallas import spmv_bsr_df64
+        return spmv_bsr_df64(self, x)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
 class BsrClassed:
     """Class-padded BSR: supergroups (GPS row groups) are bucketed into a
     few slot-width classes instead of all padding to the global max S.

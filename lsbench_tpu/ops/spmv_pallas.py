@@ -240,6 +240,154 @@ def spmv_bsr_classed(A: BsrClassed, x: jax.Array,
     return y.reshape(-1)[: A.nrows]
 
 
+# ------------------------------------------------------- double-float (f64)
+
+def _two_sum(a, b):
+    """Knuth TwoSum: a + b = s + err exactly (round-to-nearest f32)."""
+    s = a + b
+    bb = s - a
+    err = (a - (s - bb)) + (b - bb)
+    return s, err
+
+
+def _split_f32(a):
+    """12-bit mantissa split: a = hi + lo with all hi/lo cross products
+    exact in f32 (≤24 significand bits each). Implemented by bit-masking
+    the low 12 mantissa bits — unlike the arithmetic Veltkamp split, this
+    cannot be broken by compiler FMA contraction (XLA fuses `c - a` after
+    `c = a*4097` into an FMA, which silently destroys the split)."""
+    bits = jax.lax.bitcast_convert_type(a, jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(bits & jnp.uint32(0xFFFFF000),
+                                      jnp.float32)
+    return hi, a - hi
+
+
+def _two_prod(a, b, protect: bool = False):
+    """Dekker TwoProd: a * b = p + err exactly.
+
+    `protect` pins p to the ROUNDED product with an optimization barrier:
+    XLA's FMA contraction otherwise fuses later uses (e.g. TwoSum's
+    `p - bb`) with the unrounded a*b, corrupting the compensated terms.
+    Used on the interpret (XLA-compiled) path; Mosaic has no
+    optimization_barrier primitive and does not contract across
+    statements (accuracy verified on hardware in tests/bench)."""
+    p = a * b
+    if protect:
+        p = jax.lax.optimization_barrier(p)
+    ah, al = _split_f32(a)
+    bh, bl = _split_f32(b)
+    err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, err
+
+
+def _fast_two_sum(a, b):
+    """Dekker FastTwoSum: exact a + b = s + err given |a| ≥ |b|."""
+    s = a + b
+    return s, b - (s - a)
+
+
+def _df_add(ah, al, bh, bl):
+    """Normalized double-float add: (ah,al) + (bh,bl) → (sh,sl) with
+    |sl| ≲ ulp(sh). The renormalization (FastTwoSum) is what keeps the
+    low words small — without it the low-order accumulator grows to the
+    size of the TwoSum corrections and its own f32 rounding (~ulp of the
+    corrections, not of the result) dominates (measured 6e-10 relative
+    instead of ~1e-14)."""
+    s, e = _two_sum(ah, bh)
+    e = e + (al + bl)
+    return _fast_two_sum(s, e)
+
+
+def _reduce_lanes_df(ah, al):
+    """Double-float cross-lane tree sum: (br, W) pairs → (br,) pairs."""
+    w = ah.shape[1]
+    while w > 1:
+        w //= 2
+        ah, al = _df_add(ah[:, :w], al[:, :w], ah[:, w:2 * w], al[:, w:2 * w])
+    return ah[:, 0], al[:, 0]
+
+
+def _kernel_df64(idx_ref, xh_ref, xl_ref, bh_ref, bl_ref, oh_ref, ol_ref,
+                 *, slots: int, br: int, protect: bool = False):
+    """Double-float SpMV: operator and x held as (hi, lo) f32 pairs,
+    products via TwoProd, accumulation via TwoSum — result error ~2⁻⁴⁹
+    relative (the 48-bit double-float mantissa), vs ~2⁻²⁴ for plain f32.
+
+    This is the fast TPU f64 path: the alternatives — gather ELL SpMV or
+    selector matmuls in XLA-emulated f64 — measure 6.4 / 8.4 ms per SpMV
+    on xn3b_A_10 (v5e), two orders of magnitude over this kernel's DMA
+    bound (2x the f32 block stream).
+    """
+    step = pl.program_id(0)
+    for gl in range(GPS):
+        acc_h = jnp.zeros((br, BC), dtype=jnp.float32)
+        acc_l = jnp.zeros((br, BC), dtype=jnp.float32)
+        for s in range(slots):
+            cb = idx_ref[(step * GPS + gl) * slots + s]
+            xh = xh_ref[cb, :][None, :]                      # (1,128)
+            xl = xl_ref[cb, :][None, :]
+            Ah = bh_ref[gl, s * br:(s + 1) * br, :]          # (br,128)
+            Al = bl_ref[gl, s * br:(s + 1) * br, :]
+            p, e = _two_prod(Ah, xh, protect=protect)
+            # Cross terms are ~2⁻²⁴ of the main product: their own rounding
+            # lands at ~2⁻⁴⁸ — plain f32 products suffice. Al*xl ~2⁻⁴⁸: drop.
+            cross = Ah * xl + Al * xh
+            acc_h, acc_l = _df_add(acc_h, acc_l, p, e + cross)
+        oh, ol = _reduce_lanes_df(acc_h, acc_l)
+        oh_ref[gl] = oh
+        ol_ref[gl] = ol
+
+
+@functools.partial(jax.jit, static_argnames=("br", "interpret"))
+def _spmv_bsr_df64_call(block_cols, xh, xl, bh, bl, br=BR, interpret=False):
+    n_groups, sb, _ = bh.shape
+    slots = sb // br
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_groups // GPS,),
+        in_specs=[
+            pl.BlockSpec((xh.shape[0], BC), lambda g, idx: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((xl.shape[0], BC), lambda g, idx: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GPS, sb, BC), lambda g, idx: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GPS, sb, BC), lambda g, idx: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(pl.BlockSpec((GPS, br), lambda g, idx: (g, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((GPS, br), lambda g, idx: (g, 0),
+                                memory_space=pltpu.VMEM)),
+    )
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            functools.partial(_kernel_df64, slots=slots, br=br,
+                              protect=interpret),
+            grid_spec=grid_spec,
+            out_shape=(jax.ShapeDtypeStruct((n_groups, br), jnp.float32),
+                       jax.ShapeDtypeStruct((n_groups, br), jnp.float32)),
+            interpret=interpret,
+        )(block_cols.reshape(-1), xh, xl, bh, bl)
+
+
+def spmv_bsr_df64(A, x: jax.Array, interpret: bool | None = None
+                  ) -> jax.Array:
+    """y = A @ x in double-float: x (f64) → y (f64), rel error ~2⁻⁴⁹."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_cb = A.n_col_blocks
+    x = x.astype(jnp.float64)
+    x_pad = jnp.zeros(n_cb * BC, dtype=jnp.float64).at[: A.ncols].set(x)
+    xh = x_pad.astype(jnp.float32)
+    xl = (x_pad - xh.astype(jnp.float64)).astype(jnp.float32)
+    yh, yl = _spmv_bsr_df64_call(
+        A.block_cols, xh.reshape(n_cb, BC), xl.reshape(n_cb, BC),
+        A.blocks_hi, A.blocks_lo, br=A.br, interpret=interpret)
+    y = yh.astype(jnp.float64) + yl.astype(jnp.float64)
+    return y.reshape(-1)[: A.nrows]
+
+
 def _kernel_compact(idx_ref, x_ref, blocks_ref, o_ref, *, bps: int):
     """Exact-block variant: K blocks per step, whole output resident in
     VMEM, per-block scatter-accumulate into its row group.

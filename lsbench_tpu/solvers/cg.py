@@ -72,9 +72,11 @@ def resolve_layout(layout: str, dtype) -> str:
     if layout != "auto":
         return layout
     if jax.default_backend() == "tpu":
-        # f32 → Pallas BSR kernel; f64 → gather-free XLA selector SpMV
-        # (TPU element gathers cost ~20ns each; both BSR paths avoid them).
-        return "bsr" if jnp.dtype(dtype) == jnp.float32 else "bsr_xla"
+        # f32 → Pallas BSR kernel; f64 → double-float Pallas kernel
+        # (hi/lo f32 pairs + compensated arithmetic, rel err ~2⁻⁴⁹ —
+        # measured 180 µs vs 6.4 ms gather-ELL / 8.4 ms selector-XLA per
+        # SpMV on xn3b_A_10, v5e).
+        return "bsr" if jnp.dtype(dtype) == jnp.float32 else "bsr_df64"
     return "ell"
 
 
@@ -99,6 +101,11 @@ def build_matvec(A: CsrMatrix, dtype, layout: str):
         from lsbench_tpu.ops.spmv_pallas import spmv_bsr
         op = BsrMatrix.from_csr(A, dtype=jnp.float32)
         return (lambda op, v: spmv_bsr(op, v)), op, op.bytes_streamed
+    if layout == "bsr_df64":
+        from lsbench_tpu.matrix.bsr import BsrDf64
+        from lsbench_tpu.ops.spmv_pallas import spmv_bsr_df64
+        op = BsrDf64.from_csr(A)
+        return (lambda op, v: spmv_bsr_df64(op, v)), op, op.bytes_streamed
     if layout == "bsr_xla":
         from lsbench_tpu.matrix.bsr import BsrMatrix
         op = BsrMatrix.from_csr(A, dtype=dtype)

@@ -51,7 +51,17 @@ class CgIrSolver(Solver):
 
         apply32, self._op, self.stream_bytes = build_matvec(
             Ap, jnp.float32, self.layout)
-        self._ell64 = EllMatrix.from_csr(Ap, dtype=jnp.float64)
+        if jax.default_backend() == "tpu":
+            # Double-float Pallas SpMV for the f64 residual: the gather ELL
+            # SpMV in XLA-emulated f64 costs ~6.4 ms per call on v5e
+            # (~100x this kernel) and dominated the whole IR solve.
+            from lsbench_tpu.matrix.bsr import BsrDf64
+            from lsbench_tpu.ops.spmv_pallas import spmv_bsr_df64
+            self._op64 = BsrDf64.from_csr(Ap)
+            mv64 = spmv_bsr_df64
+        else:
+            self._op64 = EllMatrix.from_csr(Ap, dtype=jnp.float64)
+            mv64 = spmv_ell
         self._pstate, papply = get_preconditioner(precond)(
             Ap, jnp.float32, **(precond_params or {}))
 
@@ -68,27 +78,32 @@ class CgIrSolver(Solver):
             pc = lambda r: papply(pstate, r)
 
             def refine_cond(s):
-                x, rr, it_total, passes = s
+                x, r, rr, it_total, passes = s
                 return jnp.logical_and(passes < max_refine_c, rr > tol2)
 
             def refine_body(s):
-                x, rr, it_total, passes = s
-                r = bp - spmv_ell(ell64, x)                    # f64 residual
-                # Scale for f32 range safety, solve A d ≈ r in f32.
-                scale = jnp.sqrt(jnp.vdot(r, r))
+                # Carry the f64 residual across passes: exactly ONE f64
+                # SpMV per pass (it costs ~100x an f32 Pallas SpMV on TPU —
+                # gathers in emulated f64 — so it dominates if recomputed).
+                x, r, rr, it_total, passes = s
+                # Scale for f32 range safety, solve A d ≈ r in f32. The
+                # scaling runs in f32 (emulated-f64 vector ops are slow on
+                # TPU); only the residual and x update stay f64.
+                scale = jnp.sqrt(rr)
                 safe = jnp.where(scale > 0, scale, 1.0)
+                rhs32 = r.astype(jnp.float32) * (1.0 / safe).astype(jnp.float32)
                 d32, inner_iters, _, _ = cg_loop(
-                    mv32, pc, (r / safe).astype(jnp.float32),
-                    inner_rtol_c, maxiter_c, jnp.float32)
-                x = x + d32.astype(jnp.float64) * safe
-                r_new = bp - spmv_ell(ell64, x)
+                    mv32, pc, rhs32, inner_rtol_c, maxiter_c, jnp.float32)
+                x = x + (d32 * safe.astype(jnp.float32)).astype(jnp.float64)
+                r_new = bp - mv64(ell64, x)
                 rr_new = jnp.vdot(r_new, r_new)
-                return (x, rr_new, it_total + inner_iters, passes + 1)
+                return (x, r_new, rr_new, it_total + inner_iters, passes + 1)
 
             x0 = jnp.zeros_like(bp)
             rr0 = jnp.vdot(bp, bp)
-            x, rr, iters, passes = jax.lax.while_loop(
-                refine_cond, refine_body, (x0, rr0, jnp.int32(0), jnp.int32(0)))
+            x, r, rr, iters, passes = jax.lax.while_loop(
+                refine_cond, refine_body,
+                (x0, bp, rr0, jnp.int32(0), jnp.int32(0)))
             if inv_dev is not None:
                 x = x[inv_dev]
             return x, iters, passes, jnp.sqrt(rr), bnorm
@@ -97,7 +112,7 @@ class CgIrSolver(Solver):
 
     def solve(self, b) -> SolveResult:
         x, iters, passes, rnorm, bnorm = self._jit_solve(
-            self._op, self._ell64, self._pstate, jnp.asarray(b))
+            self._op, self._op64, self._pstate, jnp.asarray(b))
         rnorm, bnorm = float(rnorm), float(bnorm)
         relres = rnorm / bnorm if bnorm > 0 else 0.0
         return SolveResult(x=x, iters=int(iters), relres=relres,
@@ -105,6 +120,6 @@ class CgIrSolver(Solver):
                            extra={"refine_passes": int(passes)})
 
     def solve_fn(self):
-        args = (self._op, self._ell64, self._pstate)
+        args = (self._op, self._op64, self._pstate)
         jit_solve = self._jit_solve
         return lambda b: jit_solve(*args, b)

@@ -123,3 +123,38 @@ def test_bsr_classed_covers_all_groups():
     # every nnz lands in exactly one class
     total = sum(float(np.abs(np.asarray(b)).sum()) for b in B.blocks)
     assert total == pytest.approx(float(np.abs(A.vals).sum()), rel=1e-6)
+
+
+def test_bsr_df64_accuracy():
+    # Double-float SpMV: ~2^-48 relative accuracy, far beyond f32's 2^-24.
+    from lsbench_tpu.matrix.bsr import BsrDf64
+    from lsbench_tpu.ops.spmv_pallas import spmv_bsr, spmv_bsr_df64
+    from lsbench_tpu.matrix.generate import random_spd
+    A = random_spd(300, nnz_per_row=17, seed=2)
+    B = BsrDf64.from_csr(A)
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(A.ncols) * 1e3
+    y = np.asarray(spmv_bsr_df64(B, jnp.asarray(x)))
+    yref = A.matvec(x)
+    rel = np.abs(y - yref).max() / np.abs(yref).max()
+    assert rel < 5e-13, rel
+    # sanity: plain f32 kernel is ~1e-7-ish on the same input
+    y32 = np.asarray(BsrMatrix.from_csr(A).matvec(jnp.asarray(x)))
+    rel32 = np.abs(y32 - yref).max() / np.abs(yref).max()
+    assert rel32 > 1e-9  # f32 path really is f32
+
+
+def test_df64_primitives_exact():
+    from lsbench_tpu.ops.spmv_pallas import _two_prod, _two_sum, _split_f32
+    import jax
+    rng = np.random.default_rng(1)
+    a = jnp.asarray(rng.standard_normal(10000).astype(np.float32) * 1e4)
+    b = jnp.asarray(rng.standard_normal(10000).astype(np.float32))
+    s, e = jax.jit(_two_sum)(a, b)
+    exact = np.asarray(a, np.float64) + np.asarray(b, np.float64)
+    np.testing.assert_array_equal(np.asarray(s, np.float64) + np.asarray(e, np.float64), exact)
+    p, e = jax.jit(_two_prod)(a, b)
+    exact = np.asarray(a, np.float64) * np.asarray(b, np.float64)
+    np.testing.assert_array_equal(np.asarray(p, np.float64) + np.asarray(e, np.float64), exact)
+    h, l = jax.jit(_split_f32)(a)
+    np.testing.assert_array_equal(np.asarray(h, np.float64) + np.asarray(l, np.float64), np.asarray(a, np.float64))
