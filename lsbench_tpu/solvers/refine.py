@@ -1,11 +1,13 @@
 """Mixed-precision iterative refinement: fp64 accuracy at fp32 speed.
 
-TPU f64 is emulated (slow) and the Pallas SpMV kernel is f32-only, so the
-flagship TPU solve mode is: inner Krylov solve in f32 on the Pallas BSR
-path, outer residual r = b − A·x computed in f64 on the jnp ELL path once
-per refinement pass. Each pass gains ~6 digits; 2–3 passes reach the
-reference's direct-solve tolerance 1e-10 (cusparse.c:184) with the f64
-SpMV cost paid only per pass, not per iteration.
+TPU f64 is emulated (slow), so the flagship TPU solve mode is: inner
+Krylov solve in f32 on the Pallas BSR path, outer residual r = b − A·x
+in f64 — via the double-float Pallas kernel on TPU
+(ops/spmv_pallas.py::spmv_bsr_df64, ~2⁻⁴⁹ error at 35x emulated-f64
+speed), or the jnp ELL path elsewhere — once per refinement pass. Each
+pass gains ~6 digits; 2–3 passes reach the reference's direct-solve
+tolerance 1e-10 (cusparse.c:184) with the f64 cost paid per pass, not
+per iteration.
 
 Exposed as `--precision fp32_ir` on the CLI and as solver "cg_ir".
 """
