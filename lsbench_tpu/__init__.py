@@ -21,11 +21,27 @@ enforces FP64, lsbench.c:140-141); FP32 and mixed-precision iterative
 refinement are offered as TPU-fast alternatives.
 """
 
+import os as _os
+
 import jax as _jax
 
 # FP64 is the reference's enforced precision (lsbench.c:140-141). TPU f64 is
 # emulated but correct; enable before any array is created.
 _jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache: dense Cholesky and the Pallas kernels
+# compile in seconds-to-minutes on TPU; without this every CLI invocation
+# (a fresh process) pays it again. Opt out with LSBENCH_NO_COMPILE_CACHE=1.
+if not _os.environ.get("LSBENCH_NO_COMPILE_CACHE"):
+    _cache_dir = _os.environ.get(
+        "LSBENCH_COMPILE_CACHE_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "lsbench_tpu_xla"))
+    try:
+        _os.makedirs(_cache_dir, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # cache is best-effort; never block startup on it
 
 from lsbench_tpu.matrix.csr import CsrMatrix  # noqa: E402
 from lsbench_tpu.matrix.io import read_matrix  # noqa: E402

@@ -170,9 +170,12 @@ def main(argv=None) -> int:
     if precision == "fp32_ir":
         if solver_name in ("cg", "cg_ir"):
             solver_name = "cg_ir"
+        elif solver_name in ("cholesky", "cholesky_ir", "cholmod", "cusolver"):
+            solver_name = "cholesky_ir"
         else:
-            print(f"Precision 'fp32_ir' is only implemented for the cg solver "
-                  f"(got '{solver_name}').", file=sys.stderr)
+            print(f"Precision 'fp32_ir' is only implemented for the cg and "
+                  f"cholesky solver families (got '{solver_name}').",
+                  file=sys.stderr)
             return 1
 
     cls, params = get_solver(solver_name)

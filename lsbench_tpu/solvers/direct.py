@@ -45,6 +45,20 @@ class CholeskySolver(Solver):
         self.refactor = bool(refactor_each_solve)
         self.ordering = ordering
 
+        self._delegate = None
+        if (jax.default_backend() == "tpu"
+                and self.dtype == jnp.dtype(jnp.float64)):
+            # XLA's f64 Cholesky/triangular solves on TPU are emulated
+            # (~60 s factor at n=3.5k) AND only f32-accurate in practice
+            # (measured true relres 2e-6 on xn3b_A_18 vs the reference's
+            # 1e-10 direct tolerance, cusparse.c:184). Delegate to the
+            # mixed-precision path: f32 MXU factor + double-float-residual
+            # iterative refinement — faster and actually fp64-accurate.
+            self._delegate = CholeskyIrSolver(
+                A, ordering=ordering, max_dense_n=max_dense_n,
+                refactor_each_solve=refactor_each_solve, **params)
+            return
+
         from lsbench_tpu.ordering import get_ordering
         perm = get_ordering(ordering, A)
         identity = bool(np.all(perm == np.arange(A.nrows)))
@@ -89,6 +103,10 @@ class CholeskySolver(Solver):
             jax.block_until_ready(self._L)
 
     def solve(self, b) -> SolveResult:
+        if self._delegate is not None:
+            res = self._delegate.solve(b)
+            res.extra["mode"] = "fp32_ir_auto"
+            return res
         b = jnp.asarray(b)
         if self.refactor:
             x = self._factor_and_solve(self._dense, b)
@@ -99,8 +117,137 @@ class CholeskySolver(Solver):
                            converged=bool(np.isfinite(relres)))
 
     def solve_fn(self):
+        if self._delegate is not None:
+            return self._delegate.solve_fn()
         if self.refactor:
             dense, fs = self._dense, self._factor_and_solve
             return lambda b: fs(dense, jnp.asarray(b))
         L, ts = self._L, self._trisolve
         return lambda b: ts(L, jnp.asarray(b))
+
+
+@register_solver("cholesky_ir")
+class CholeskyIrSolver(Solver):
+    """Mixed-precision direct solve: f32 MXU Cholesky factor + triangular
+    solves, refined to fp64 accuracy with double-float residuals.
+
+    TPU f64 matmuls/triangular solves are software-emulated (slow); the
+    classic fix is iterative refinement (Wilkinson): factor once in f32,
+    then loop  d = (LLᵀ)⁻¹ r,  x += d,  r = b − A·x  with the residual in
+    high precision — here the compensated double-float Pallas SpMV. Each
+    pass gains ~3-4 digits (κ·ε_f32 per pass); the reference's 1e-10
+    direct tolerance (cusparse.c:184) takes 3-4 passes.
+    """
+
+    def __init__(self, A: CsrMatrix, rtol=1e-10, max_refine=12,
+                 ordering="amd", max_dense_n=20000, dtype=None,
+                 refactor_each_solve=False, **params):
+        super().__init__(A, **params)
+        del dtype  # precision structure fixed: f32 factor / f64 residual
+        if A.nrows != A.ncols:
+            raise ValueError("Cholesky requires a square matrix")
+        if A.nrows > max_dense_n:
+            raise ValueError(
+                f"dense Cholesky guard: n={A.nrows} > {max_dense_n}")
+        self.rtol = float(rtol)
+        self.max_refine = int(max_refine)
+        self.ordering = ordering
+        self.refactor = bool(refactor_each_solve)
+
+        from lsbench_tpu.ordering import get_ordering
+        perm = get_ordering(ordering, A)
+        identity = bool(np.all(perm == np.arange(A.nrows)))
+        Ap = A if identity else A.permuted(perm)
+        perm_dev = None if identity else jnp.asarray(perm)
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(A.nrows)
+        inv_dev = None if identity else jnp.asarray(inv)
+
+        dense_np = Ap.to_dense()
+        sym32 = ((dense_np + dense_np.T) * 0.5).astype(np.float32)
+        # Factor on HOST (LAPACK spotrf, ~0.2 s at reference scale) — the
+        # same split as the reference's default CHOLMOD backend (CPU factor,
+        # cholmod.c:68). XLA's blocked device Cholesky costs 2-8 MINUTES of
+        # compile through the remote-TPU tunnel for no runtime benefit at
+        # n ≤ ~10⁴; the timed region (triangular solves + refinement) stays
+        # on device either way.
+        self._sym32 = sym32 if self.refactor else None
+        self._L = jnp.asarray(np.linalg.cholesky(sym32.astype(np.float64))
+                              .astype(np.float32))
+
+        if jax.default_backend() == "tpu":
+            from lsbench_tpu.matrix.bsr import BsrDf64
+            from lsbench_tpu.ops.spmv_pallas import spmv_bsr_df64
+            self._op64 = BsrDf64.from_csr(Ap)
+            mv64 = spmv_bsr_df64
+        else:
+            from lsbench_tpu.matrix.ell import EllMatrix
+            from lsbench_tpu.ops.spmv import spmv_ell
+            self._op64 = EllMatrix.from_csr(Ap, dtype=jnp.float64)
+            mv64 = spmv_ell
+
+        rtol_c, max_refine_c = self.rtol, self.max_refine
+
+        @jax.jit
+        def _solve(L, op64, b):
+            b = b.astype(jnp.float64)
+            bp = b if perm_dev is None else b[perm_dev]
+            bnorm = jnp.sqrt(jnp.vdot(bp, bp))
+            tol2 = (rtol_c * bnorm) ** 2
+
+            def tri32(r32):
+                y = jsl.solve_triangular(L, r32, lower=True)
+                return jsl.solve_triangular(L, y, lower=True, trans=1)
+
+            def cond(s):
+                x, r, rr, rr_prev, passes = s
+                return jnp.logical_and(
+                    passes < max_refine_c,
+                    jnp.logical_and(rr > tol2, rr < rr_prev))
+
+            def body(s):
+                x, r, rr, rr_prev, passes = s
+                scale = jnp.sqrt(rr)
+                safe = jnp.where(scale > 0, scale, 1.0)
+                r32 = r.astype(jnp.float32) * (1.0 / safe).astype(jnp.float32)
+                d32 = tri32(r32)
+                x = x + (d32 * safe.astype(jnp.float32)).astype(jnp.float64)
+                r_new = bp - mv64(op64, x)
+                return (x, r_new, jnp.vdot(r_new, r_new), rr, passes + 1)
+
+            x0 = jnp.zeros_like(bp)
+            rr0 = jnp.vdot(bp, bp)
+            x, r, rr, _, passes = jax.lax.while_loop(
+                cond, body, (x0, bp, rr0, jnp.inf, jnp.int32(0)))
+            if inv_dev is not None:
+                x = x[inv_dev]
+            return x, passes, jnp.sqrt(rr), bnorm
+
+        if self.refactor:
+            # cusolver csrlsvchol protocol: factor+solve per trial
+            # (cusparse.c:183-194). The re-factor runs ON DEVICE inside the
+            # timed solve: a host factor would ship the O(n²) L over the
+            # remote-TPU tunnel every trial (measured 11 s/solve at
+            # n=3461); the device f32 factor costs one slow XLA compile at
+            # setup, then ~0.1 s/solve of honest refactor work.
+            @jax.jit
+            def _refactor_solve(sym32, op64, b):
+                return _solve(jax.lax.linalg.cholesky(sym32), op64, b)
+            self._jit_solve = _refactor_solve
+            self._first_arg = jnp.asarray(self._sym32)
+        else:
+            self._jit_solve = _solve
+            self._first_arg = self._L
+
+    def solve(self, b) -> SolveResult:
+        x, passes, rnorm, bnorm = self._jit_solve(self._first_arg,
+                                                  self._op64, jnp.asarray(b))
+        rnorm, bnorm = float(rnorm), float(bnorm)
+        relres = rnorm / bnorm if bnorm > 0 else 0.0
+        return SolveResult(x=x, iters=int(passes), relres=relres,
+                           converged=relres <= self.rtol or bnorm == 0.0,
+                           extra={"refine_passes": int(passes)})
+
+    def solve_fn(self):
+        arg, op64, js = self._first_arg, self._op64, self._jit_solve
+        return lambda b: js(arg, op64, jnp.asarray(b))

@@ -320,13 +320,22 @@ class SparseCholeskySolver(Solver):
     cholmod.c:68) with device level-scheduled triangular solves."""
 
     def __init__(self, A: CsrMatrix, dtype=jnp.float64, ordering="amd",
-                 **params):
+                 rtol=1e-10, max_refine=12, **params):
         super().__init__(A, **params)
         if A.nrows != A.ncols:
             raise ValueError("Cholesky requires a square matrix")
         self.dtype = jnp.dtype(dtype)
         self.ordering = ordering
+        self.rtol = float(rtol)
+        self.max_refine = int(max_refine)
         n = A.nrows
+        # On TPU, f64 level-scheduled sweeps are emulated AND land at only
+        # ~f32 accuracy (measured true relres 2e-6 on xn3b_A_18); run the
+        # sweeps in f32 and refine with double-float residuals instead
+        # (same scheme as solvers/direct.py::CholeskyIrSolver).
+        self._ir_tpu = (jax.default_backend() == "tpu"
+                        and self.dtype == jnp.dtype(jnp.float64))
+        level_dtype = jnp.float32 if self._ir_tpu else self.dtype
 
         from lsbench_tpu.ordering import get_ordering
         perm = get_ordering(ordering, A)
@@ -356,15 +365,51 @@ class SparseCholeskySolver(Solver):
                                    {"cp": cp, "ci": ci, "cx": cx})
         self.fill_nnz = int(cp[-1])
         solve, self.n_levels_f, self.n_levels_b, self.pad_waste = \
-            build_level_solver(cp, ci, cx, n, self.dtype)
+            build_level_solver(cp, ci, cx, n, level_dtype)
 
         perm_dev, inv_dev = self._perm, self._inv
 
-        @jax.jit
-        def _solve(b):
-            bp = b if perm_dev is None else b[perm_dev]
-            x = solve(bp.astype(dtype))
-            return x if inv_dev is None else x[inv_dev]
+        if self._ir_tpu:
+            from lsbench_tpu.matrix.bsr import BsrDf64
+            from lsbench_tpu.ops.spmv_pallas import spmv_bsr_df64
+            op64 = BsrDf64.from_csr(Ap)
+            rtol_c, max_refine_c = self.rtol, self.max_refine
+
+            @jax.jit
+            def _solve(b):
+                b = b.astype(jnp.float64)
+                bp = b if perm_dev is None else b[perm_dev]
+                tol2 = (rtol_c ** 2) * jnp.vdot(bp, bp)
+
+                def cond(s):
+                    x, r, rr, rr_prev, passes = s
+                    return jnp.logical_and(
+                        passes < max_refine_c,
+                        jnp.logical_and(rr > tol2, rr < rr_prev))
+
+                def body(s):
+                    x, r, rr, rr_prev, passes = s
+                    scale = jnp.sqrt(rr)
+                    safe = jnp.where(scale > 0, scale, 1.0)
+                    r32 = (r.astype(jnp.float32)
+                           * (1.0 / safe).astype(jnp.float32))
+                    d32 = solve(r32)
+                    x = x + (d32 * safe.astype(jnp.float32)).astype(
+                        jnp.float64)
+                    r_new = bp - spmv_bsr_df64(op64, x)
+                    return (x, r_new, jnp.vdot(r_new, r_new), rr, passes + 1)
+
+                x0 = jnp.zeros_like(bp)
+                rr0 = jnp.vdot(bp, bp)
+                x, r, rr, _, passes = jax.lax.while_loop(
+                    cond, body, (x0, bp, rr0, jnp.inf, jnp.int32(0)))
+                return x if inv_dev is None else x[inv_dev]
+        else:
+            @jax.jit
+            def _solve(b):
+                bp = b if perm_dev is None else b[perm_dev]
+                x = solve(bp.astype(dtype))
+                return x if inv_dev is None else x[inv_dev]
 
         self._jit_solve = _solve
 

@@ -123,3 +123,30 @@ def test_sparse_cholesky_matches_dense_path():
     xd = np.asarray(make("cholesky", A, ordering="amd").solve(b).x)
     xs = np.asarray(make("sparse_cholesky", A, ordering="amd").solve(b).x)
     np.testing.assert_allclose(xs, xd, rtol=1e-9, atol=1e-12)
+
+
+def test_cholesky_ir_reaches_fp64_accuracy():
+    import numpy as np
+    from lsbench_tpu.matrix.generate import poisson_2d
+    from lsbench_tpu.solvers.base import get_solver
+    A = poisson_2d(16)
+    b = np.arange(A.nrows, dtype=np.float64)
+    cls, params = get_solver("cholesky_ir")
+    res = cls(A, rtol=1e-12, **params).solve(b)
+    assert res.converged
+    x = np.asarray(res.x)
+    r = np.linalg.norm(b - A.matvec(x)) / np.linalg.norm(b)
+    assert r < 1e-12, r
+    assert res.extra["refine_passes"] <= 8
+
+
+def test_cholesky_ir_cli_precision_mapping(tmp_path, capsys):
+    from lsbench_tpu.harness.cli import main
+    p = tmp_path / "m.txt"
+    lines = ["5 1"] + [f"{i} {i} {float(i)}" for i in range(1, 6)]
+    p.write_text("\n".join(lines) + "\n")
+    rc = main(["--matrix", str(p), "--solver", "cholmod",
+               "--precision", "fp32_ir", "--trials", "2", "--json"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert '"solver": "cholesky_ir"' in out or "cholesky_ir" in out
