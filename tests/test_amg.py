@@ -219,3 +219,19 @@ def test_amg_dense_coarse_levels():
     assert res.converged
     x_ref = np.linalg.solve(A.to_dense(), b)
     np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-6, atol=1e-8)
+
+
+def test_sa_vcycle_convergence_factor():
+    # Regression for the prolongator damping: with the classic 4/(3 rho)
+    # smoothing the SA V(1,1) factor on the 2-D Laplacian must stay well
+    # under the 0.636 the 2/3 damping produced.
+    import numpy as np
+    from lsbench_tpu.matrix.generate import poisson_2d
+    from lsbench_tpu.solvers.base import get_solver
+    A = poisson_2d(40)
+    b = np.arange(A.nrows, dtype=np.float64)
+    cls, ps = get_solver("amg")
+    ps.update(cycles=8)
+    res = cls(A, **ps).solve(b)
+    r = np.linalg.norm(b - A.matvec(np.asarray(res.x))) / np.linalg.norm(b)
+    assert r ** 0.125 < 0.35, r ** 0.125
