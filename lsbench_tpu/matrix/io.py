@@ -46,14 +46,65 @@ def _read_header(line: str, fname: str) -> tuple[int, int]:
 
 
 def read_matrix(fname: str | os.PathLike) -> CsrMatrix:
-    """Read a COO text file into a 0-based `CsrMatrix`."""
+    """Read a sparse matrix file into a 0-based `CsrMatrix`.
+
+    Two formats are auto-detected: the reference's COO text format
+    (header ``nnz base`` — lsbench-csr.c:34-53) and MatrixMarket
+    coordinate files (``%%MatrixMarket`` banner; real/integer/pattern,
+    general or symmetric) — the de-facto exchange format for sparse
+    matrices (SuiteSparse collection etc.), which the reference lacks."""
     fname = os.fspath(fname)
+    with open(fname, "r") as fp:
+        first = fp.readline()
+    if first.startswith("%%MatrixMarket"):
+        return _read_matrix_market(fname, first)
     coo = _read_coo_native(fname)
     if coo is None:
         coo = _read_coo_numpy(fname)
     rows, cols, vals, base = coo
     n = int(max(rows.max(), cols.max())) - base + 1
     return CsrMatrix.from_coo(rows - base, cols - base, vals, nrows=n, ncols=n)
+
+
+def _read_matrix_market(fname: str, banner: str) -> CsrMatrix:
+    parts = banner.split()
+    if (len(parts) < 5 or parts[1].lower() != "matrix"
+            or parts[2].lower() != "coordinate"):
+        raise MatrixFormatError(
+            f"{fname}: unsupported MatrixMarket banner: {banner.strip()!r} "
+            "(only 'matrix coordinate' is supported)")
+    field = parts[3].lower()
+    symmetry = parts[4].lower()
+    if field not in ("real", "integer", "pattern"):
+        raise MatrixFormatError(
+            f"{fname}: unsupported MatrixMarket field '{field}'")
+    if symmetry not in ("general", "symmetric"):
+        raise MatrixFormatError(
+            f"{fname}: unsupported MatrixMarket symmetry '{symmetry}'")
+    with open(fname, "r") as fp:
+        fp.readline()  # banner
+        line = fp.readline()
+        while line.startswith("%"):
+            line = fp.readline()
+        try:
+            nrows, ncols, nnz = (int(t) for t in line.split())
+        except ValueError as e:
+            raise MatrixFormatError(
+                f"{fname}: bad MatrixMarket size line: {line.strip()!r}") from e
+        data = np.loadtxt(fp, ndmin=2, max_rows=nnz)
+    if data.shape[0] != nnz:
+        raise MatrixFormatError(
+            f"{fname}: expected {nnz} entries, found {data.shape[0]}")
+    rows = data[:, 0].astype(np.int64) - 1
+    cols = data[:, 1].astype(np.int64) - 1
+    vals = data[:, 2] if data.shape[1] > 2 else np.ones(nnz)
+    if symmetry == "symmetric":
+        off = rows != cols
+        rows = np.concatenate([rows, cols[off]])
+        cols = np.concatenate([cols, data[:, 0].astype(np.int64)[off] - 1])
+        vals = np.concatenate([vals, vals[off]])
+    return CsrMatrix.from_coo(rows, cols, vals, nrows=nrows, ncols=ncols,
+                              sum_duplicates=True)
 
 
 def _read_coo_numpy(fname: str):

@@ -67,3 +67,56 @@ def test_reference_matrices_parse(ref_data_dir):
     B = read_matrix(ref_data_dir / "xn3b_A_18.txt")
     assert B.nrows == 3461 and B.nnz == 76591
     assert B.symmetry_error() < 1e-6
+
+
+def test_matrix_market_general(tmp_path):
+    import numpy as np
+    from lsbench_tpu.matrix.io import read_matrix
+    p = tmp_path / "m.mtx"
+    p.write_text("""%%MatrixMarket matrix coordinate real general
+% a comment
+3 3 5
+1 1 2.0
+1 2 -1.0
+2 2 2.0
+3 3 2.0
+2 1 -1.0
+""")
+    A = read_matrix(p)
+    D = A.to_dense()
+    np.testing.assert_allclose(
+        D, [[2, -1, 0], [-1, 2, 0], [0, 0, 2]])
+
+
+def test_matrix_market_symmetric(tmp_path):
+    import numpy as np
+    from lsbench_tpu.matrix.io import read_matrix
+    p = tmp_path / "s.mtx"
+    p.write_text("""%%MatrixMarket matrix coordinate real symmetric
+3 3 4
+1 1 4.0
+2 1 -1.0
+2 2 4.0
+3 2 -2.0
+""")
+    A = read_matrix(p)
+    D = A.to_dense()
+    np.testing.assert_allclose(
+        D, [[4, -1, 0], [-1, 4, -2], [0, -2, 0]])
+
+
+def test_matrix_market_pattern_and_errors(tmp_path):
+    import pytest
+    from lsbench_tpu.matrix.io import MatrixFormatError, read_matrix
+    p = tmp_path / "p.mtx"
+    p.write_text("""%%MatrixMarket matrix coordinate pattern general
+2 2 2
+1 1
+2 2
+""")
+    A = read_matrix(p)
+    assert A.nnz == 2 and A.vals.sum() == 2.0
+    bad = tmp_path / "bad.mtx"
+    bad.write_text("%%MatrixMarket matrix array real general\n2 2\n1\n2\n3\n4\n")
+    with pytest.raises(MatrixFormatError):
+        read_matrix(bad)
