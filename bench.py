@@ -90,6 +90,14 @@ def main():
     ell32 = EllMatrix.from_csr(A, dtype=jnp.float32)
     t_gather, _ = _slope_timed(lambda v: spmv_ell(ell32, v), x0, 10, 60)
 
+    # FP64 path: double-float Pallas kernel (the reference's enforced
+    # precision, lsbench.c:140-141, at ~2^-49 accuracy).
+    from lsbench_tpu.matrix.bsr import BsrDf64
+    from lsbench_tpu.ops.spmv_pallas import spmv_bsr_df64
+    df = BsrDf64.from_csr(A)
+    x64 = jnp.asarray(np.random.default_rng(1).random(n))
+    t_df64, _ = _slope_timed(lambda v: spmv_bsr_df64(df, v), x64, 100, 500)
+
     gnnz_s = A.nnz / t_pallas / 1e9
 
     # CG time-to-solution, mixed precision, reference RHS r[i]=i and the
@@ -112,6 +120,8 @@ def main():
         "details": {
             "pallas_spmv_us": round(t_pallas * 1e6, 2),
             "xla_gather_spmv_us": round(t_gather * 1e6, 2),
+            "df64_spmv_us": round(t_df64 * 1e6, 2),
+            "df64_gnnz_per_s": round(A.nnz / t_df64 / 1e9, 3),
             "hbm_gb_per_s": round(bsr.bytes_streamed / t_pallas / 1e9, 1),
             "dispatch_latency_ms": round(disp * 1e3, 1),
             "cg_fp32ir_solve_s": round(cg_s, 4),
