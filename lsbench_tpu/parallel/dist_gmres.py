@@ -23,7 +23,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from lsbench_tpu.matrix.csr import CsrMatrix
 from lsbench_tpu.parallel.dist_cg import _force_global_cols
-from lsbench_tpu.parallel.dist_spmv import build_halo_plan
+from lsbench_tpu.parallel.dist_spmv import build_halo_plan, halo_spmv_local
 from lsbench_tpu.parallel.mesh import ROWS
 from lsbench_tpu.solvers.base import SolveResult, Solver
 
@@ -33,8 +33,8 @@ class DistributedGmres(Solver):
     name = "dist_gmres"
 
     def __init__(self, A: CsrMatrix, mesh: Mesh, dtype=jnp.float64,
-                 rtol=1e-8, maxiter=None, restart=30, row_align: int = 8,
-                 **params):
+                 rtol=1e-8, maxiter=None, restart=30, strategy="auto",
+                 row_align: int = 8, **params):
         super().__init__(A, **params)
         self.mesh = mesh
         self.dtype = jnp.dtype(dtype)
@@ -46,8 +46,15 @@ class DistributedGmres(Solver):
         n_dev = mesh.devices.size
 
         plan = build_halo_plan(A, n_dev, self.dtype, row_align=row_align)
-        if not plan.needs_all_gather:
+        if strategy == "auto":
+            strategy = "all_gather" if plan.needs_all_gather else "halo"
+        if strategy == "halo" and plan.needs_all_gather:
+            raise ValueError(
+                f"halo strategy impossible: halo {plan.halo} exceeds block "
+                f"size {plan.nloc}; use all_gather (or reorder with RCM)")
+        if strategy == "all_gather" and not plan.needs_all_gather:
             plan = _force_global_cols(A, plan)
+        self.strategy = strategy
         self.n = A.nrows
         self.n_pad = plan.n_pad
 
@@ -66,6 +73,8 @@ class DistributedGmres(Solver):
         rtol_c, mr, m = self.rtol, self.max_restarts, self.restart
         dt = self.dtype
         eps_break = 1e-30
+        halo = plan.halo
+        use_halo = strategy == "halo"
 
         @partial(shard_map, mesh=mesh,
                  in_specs=(P(ROWS, None), P(ROWS, None), P(ROWS), P(ROWS)),
@@ -73,9 +82,13 @@ class DistributedGmres(Solver):
         def _gmres(vals_l, cols_l, inv_diag_l, b_l):
             nloc = b_l.shape[0]
 
-            def matvec(p_l):
-                p_full = jax.lax.all_gather(p_l, ROWS, tiled=True)
-                return jnp.sum(vals_l * p_full[cols_l], axis=1)
+            if use_halo:
+                def matvec(p_l):
+                    return halo_spmv_local(halo, vals_l, cols_l, p_l)
+            else:
+                def matvec(p_l):
+                    p_full = jax.lax.all_gather(p_l, ROWS, tiled=True)
+                    return jnp.sum(vals_l * p_full[cols_l], axis=1)
 
             def precond(r_l):
                 return inv_diag_l * r_l

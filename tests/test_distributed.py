@@ -121,3 +121,31 @@ def test_dist_cg_block_jacobi():
     x_ref = np.linalg.solve(A.to_dense(), b)
     np.testing.assert_allclose(np.asarray(res_bj.x), x_ref, rtol=1e-6,
                                atol=1e-8)
+
+
+def test_dist_bicgstab_gmres_halo_strategy():
+    # Halo exchange (O(H) per matvec) must give the same answers as
+    # all_gather for banded matrices, across both Krylov families.
+    import numpy as np
+    import jax
+    from lsbench_tpu.matrix.generate import poisson_2d
+    from lsbench_tpu.parallel.dist_bicgstab import DistributedBicgstab
+    from lsbench_tpu.parallel.dist_gmres import DistributedGmres
+    from lsbench_tpu.parallel.mesh import make_row_mesh
+    if jax.device_count() < 4:
+        import pytest
+        pytest.skip("needs 4 virtual devices")
+    A = poisson_2d(12)
+    b = np.arange(A.nrows, dtype=np.float64)
+    mesh = make_row_mesh(4)
+    x_ref = np.linalg.solve(A.to_dense(), b)
+    for cls in (DistributedBicgstab, DistributedGmres):
+        sols = {}
+        for strat in ("halo", "all_gather"):
+            s = cls(A, mesh, rtol=1e-10, strategy=strat)
+            assert s.strategy == strat
+            res = s.solve(b)
+            assert res.converged, (cls.__name__, strat)
+            sols[strat] = np.asarray(res.x)
+            np.testing.assert_allclose(sols[strat], x_ref, rtol=1e-6,
+                                       atol=1e-8)
