@@ -268,12 +268,13 @@ def _make_distributed(solver_name: str, A, args, params):
         return None
 
     if args.mesh:
-        if solver_name not in ("cg", "cg_ir") or args.precond in (
-                "amg", "amg_classical"):
-            print("--mesh RxC currently supports the cg solver with "
-                  "point/none preconditioning.", file=sys.stderr)
+        if (solver_name not in ("cg", "cg_ir", "bicgstab", "ginkgo")
+                or args.precond in ("amg", "amg_classical")):
+            print("--mesh RxC currently supports the cg/bicgstab/ginkgo "
+                  "solvers with point/none preconditioning.", file=sys.stderr)
             return None
-        from lsbench_tpu.parallel.dist2d import DistributedCg2d
+        from lsbench_tpu.parallel.dist2d import (DistributedBicgstab2d,
+                                                 DistributedCg2d)
         from lsbench_tpu.parallel.mesh import make_mesh_2d
         try:
             pr, pc = (int(t) for t in args.mesh.lower().split("x"))
@@ -285,7 +286,12 @@ def _make_distributed(solver_name: str, A, args, params):
             print(f"--mesh {args.mesh} needs {pr*pc} devices but "
                   f"--devices={args.devices}", file=sys.stderr)
             return None
-        return DistributedCg2d(A, make_mesh_2d(pr, pc), dtype=dtype, **kw)
+        mesh2 = make_mesh_2d(pr, pc)
+        if solver_name in ("bicgstab", "ginkgo"):
+            if solver_name == "ginkgo":
+                kw.setdefault("rtol", 1e-4)  # ginkgo.cpp:61
+            return DistributedBicgstab2d(A, mesh2, dtype=dtype, **kw)
+        return DistributedCg2d(A, mesh2, dtype=dtype, **kw)
 
     amg_like = {"amg", "hypre", "amgx", "paralmond"}
     if solver_name in amg_like:

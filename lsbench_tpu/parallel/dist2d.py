@@ -214,6 +214,111 @@ class DistributedCg2d(Solver):
         return lambda b: jit_cg(vals, cols, inv_diag, pad(b))
 
 
+class DistributedBicgstab2d(Solver):
+    """Jacobi-preconditioned BiCGSTAB over a 2-D mesh — the Ginkgo role
+    (ginkgo.cpp:55-64 recurrence and stop rule) on the 2-D partition."""
+
+    name = "dist_bicgstab2d"
+
+    def __init__(self, A: CsrMatrix, mesh: Mesh, dtype=jnp.float64,
+                 rtol=1e-4, maxiter=None, **params):
+        super().__init__(A, **params)
+        if set(mesh.axis_names) != {ROWS, COLS}:
+            raise ValueError(f"need a ({ROWS},{COLS}) mesh, got {mesh.axis_names}")
+        self.mesh = mesh
+        self.dtype = jnp.dtype(dtype)
+        self.rtol = float(rtol)
+        self.maxiter = (int(maxiter) if maxiter is not None
+                        else max(10 * A.nrows, 1000))
+        pr, pc = mesh.shape[ROWS], mesh.shape[COLS]
+        plan = build_2d_plan(A, pr, pc, self.dtype)
+        self.plan, self.n, self.n_pad = plan, plan.n, plan.n_pad
+
+        blk_shard = NamedSharding(mesh, P(ROWS, COLS, None, None))
+        vec_shard = NamedSharding(mesh, P((ROWS, COLS)))
+        self.vec_shard = vec_shard
+        vals = jax.device_put(plan.vals, blk_shard)
+        cols = jax.device_put(plan.cols, blk_shard)
+        d = np.ones(self.n_pad)
+        diag = A.diagonal()
+        d[: self.n] = np.where(diag != 0.0, diag, 1.0)
+        inv_diag = jax.device_put(jnp.asarray(1.0 / d, dtype=self.dtype),
+                                  vec_shard)
+
+        rtol_c, maxiter_c, dt = self.rtol, self.maxiter, self.dtype
+        both = (ROWS, COLS)
+
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(P(ROWS, COLS, None, None),
+                           P(ROWS, COLS, None, None), P(both), P(both)),
+                 out_specs=(P(both), P(), P(), P()))
+        def _run(vals_l, cols_l, inv_diag_l, b_l):
+            vals_l = vals_l.reshape(vals_l.shape[2:])
+            cols_l = cols_l.reshape(cols_l.shape[2:])
+
+            def matvec(p_l):
+                return spmv_2d_local(vals_l, cols_l, p_l)
+
+            def fused_psum(*scalars):
+                s = jax.lax.psum(jnp.stack(scalars), both)
+                return tuple(s[i] for i in range(len(scalars)))
+
+            r0 = b_l
+            (r0n2,) = fused_psum(jnp.vdot(r0, r0))
+            tol2 = (rtol_c ** 2) * r0n2
+            one = jnp.asarray(1.0, dt)
+            init = (jnp.zeros_like(b_l), r0, jnp.zeros_like(b_l),
+                    jnp.zeros_like(b_l), one, one, one, r0n2, jnp.int32(0))
+
+            def cond(s):
+                *_, rr, it = s
+                return jnp.logical_and(it < maxiter_c, rr > tol2)
+
+            def body(s):
+                x, r, p, v, rho, alpha, omega, rr, it = s
+                (rho_new,) = fused_psum(jnp.vdot(r0, r))
+                beta = (rho_new / rho) * (alpha / omega)
+                p = r + beta * (p - omega * v)
+                ph = inv_diag_l * p
+                v = matvec(ph)
+                (r0v,) = fused_psum(jnp.vdot(r0, v))
+                alpha = rho_new / r0v
+                sv = r - alpha * v
+                sh = inv_diag_l * sv
+                t = matvec(sh)
+                tt, ts = fused_psum(jnp.vdot(t, t), jnp.vdot(t, sv))
+                omega = jnp.where(tt > 0, ts / tt, jnp.zeros_like(tt))
+                x = x + alpha * ph + omega * sh
+                r = sv - omega * t
+                (rr_new,) = fused_psum(jnp.vdot(r, r))
+                return (x, r, p, v, rho_new, alpha, omega, rr_new, it + 1)
+
+            x, r, p, v, rho, alpha, omega, rr, it = jax.lax.while_loop(
+                cond, body, init)
+            return x, jnp.sqrt(rr), jnp.sqrt(r0n2), it
+
+        self._args = (vals, cols, inv_diag)
+        self._jit = jax.jit(_run)
+
+    def _pad_b(self, b):
+        b = jnp.asarray(b, dtype=self.dtype)
+        bp = jnp.zeros(self.n_pad, dtype=self.dtype).at[: self.n].set(b)
+        return jax.device_put(bp, self.vec_shard)
+
+    def solve(self, b) -> SolveResult:
+        x, rnorm, bnorm, iters = self._jit(*self._args, self._pad_b(b))
+        rnorm, bnorm = float(rnorm), float(bnorm)
+        relres = rnorm / bnorm if bnorm > 0 else 0.0
+        return SolveResult(x=np.asarray(x)[: self.n], iters=int(iters),
+                           relres=relres,
+                           converged=relres <= self.rtol or bnorm == 0.0,
+                           extra={"mesh": (self.plan.pr, self.plan.pc)})
+
+    def solve_fn(self):
+        args, jit, pad = self._args, self._jit, self._pad_b
+        return lambda b: jit(*args, pad(b))
+
+
 def spmv_2d(A: CsrMatrix, mesh: Mesh, x, dtype=jnp.float64):
     """One-shot 2-D distributed y = A @ x (test/verification entry)."""
     pr, pc = mesh.shape[ROWS], mesh.shape[COLS]

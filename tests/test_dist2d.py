@@ -66,3 +66,16 @@ def test_plan_covers_all_nnz():
     plan = build_2d_plan(A, 2, 4, jnp.float64)
     assert float(np.abs(np.asarray(plan.vals)).sum()) == pytest.approx(
         float(np.abs(A.vals).sum()), rel=1e-14)
+
+
+def test_bicgstab_2d_converges_and_matches():
+    from lsbench_tpu.parallel.dist2d import DistributedBicgstab2d
+    A = poisson_2d(12)
+    b = make_rhs(A.nrows)
+    res = DistributedBicgstab2d(A, make_mesh_2d(2, 4), rtol=1e-10).solve(b)
+    assert res.converged
+    x_ref = np.linalg.solve(A.to_dense(), b)
+    np.testing.assert_allclose(np.asarray(res.x), x_ref, rtol=1e-5, atol=1e-7)
+    # Ginkgo protocol default: implicit resnorm 1e-4 of initial.
+    res2 = DistributedBicgstab2d(A, make_mesh_2d(2, 4)).solve(b)
+    assert res2.converged and res2.relres <= 1e-4
