@@ -80,11 +80,57 @@ def _ic0_precond(A: CsrMatrix, dtype, **params):
     return ic0_precond(A, dtype, **params)
 
 
+def chebyshev_precond(A: CsrMatrix, dtype, degree: int = 4,
+                      lower: float = 0.30, **_):
+    """Fixed-degree Chebyshev polynomial approximation of A⁻¹ on
+    [lower·ρ, 1.1·ρ] of D⁻¹A (the Hypre cheby-smoother family,
+    hypre.c:137, used here as a CG preconditioner).
+
+    Why it earns a slot: the apply is `degree` SpMVs plus vector ops —
+    no dot products, no triangular solves — so it is reduction-free
+    (one psum per CG iteration still suffices when distributed) and runs
+    entirely on the Pallas SpMV kernel. A fixed polynomial is a fixed SPD
+    operator, so CG theory holds exactly."""
+    from lsbench_tpu.solvers.amg import estimate_rho_dinv_a
+    from lsbench_tpu.solvers.cg import build_matvec, resolve_layout
+
+    d = A.diagonal()
+    dinv_np = np.where(d != 0.0, 1.0 / np.where(d == 0.0, 1.0, d), 1.0)
+    rho = estimate_rho_dinv_a(A, dinv_np)
+    lmax = 1.1 * rho
+    lmin = lower * rho
+    theta = (lmax + lmin) / 2.0
+    delta = (lmax - lmin) / 2.0
+    sigma = theta / delta
+
+    apply_mv, op, _ = build_matvec(A, dtype, resolve_layout("auto", dtype))
+    state = (op, jnp.asarray(dinv_np, dtype=dtype))
+    deg = int(degree)
+
+    def apply(state, r):
+        op, dinv = state
+        mv = lambda v: apply_mv(op, v).astype(r.dtype)
+        rho_k = 1.0 / sigma
+        res = r
+        dvec = (dinv * res) / theta
+        z = jnp.zeros_like(r)
+        for _ in range(deg - 1):
+            z = z + dvec
+            res = res - mv(dvec)
+            rho_k1 = 1.0 / (2.0 * sigma - rho_k)
+            dvec = (rho_k1 * rho_k) * dvec + (2.0 * rho_k1 / delta) * (dinv * res)
+            rho_k = rho_k1
+        return z + dvec
+
+    return state, apply
+
+
 PRECONDITIONERS = {
     "none": identity_precond,
     "jacobi": jacobi_precond,
     "block_jacobi": block_jacobi_precond,
     "ic0": _ic0_precond,
+    "chebyshev": chebyshev_precond,
     "amg": _amg_precond,
     "amg_classical": _amg_classical_precond,
 }

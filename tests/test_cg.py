@@ -68,3 +68,26 @@ def test_cg_reference_workload(ref_data_dir):
     assert res.converged, f"relres={res.relres} iters={res.iters}"
     rr = solver.residual_norm(res.x, b) / np.linalg.norm(b)
     assert rr <= 1e-7
+
+
+def test_cg_chebyshev_precond():
+    import numpy as np
+    from lsbench_tpu.matrix.generate import poisson_2d
+    from lsbench_tpu.solvers.base import get_solver
+    A = poisson_2d(20)
+    b = np.arange(A.nrows, dtype=np.float64)
+
+    def run(precond, **pp):
+        cls, params = get_solver("cg")
+        params.update(rtol=1e-10, precond=precond, precond_params=pp or None)
+        return cls(A, **params).solve(b)
+
+    res_c = run("chebyshev", degree=4)
+    res_j = run("jacobi")
+    assert res_c.converged
+    # Each preconditioned iteration does 4 extra matvecs; it must cut the
+    # iteration count by well more than a trivial amount.
+    assert res_c.iters < res_j.iters * 0.5, (res_c.iters, res_j.iters)
+    x_ref = np.linalg.solve(A.to_dense(), b)
+    np.testing.assert_allclose(np.asarray(res_c.x), x_ref, rtol=1e-6,
+                               atol=1e-8)
