@@ -100,17 +100,35 @@ def main():
 
     gnnz_s = A.nnz / t_pallas / 1e9
 
-    # CG time-to-solution, mixed precision, reference RHS r[i]=i and the
-    # reference direct tolerance 1e-10.
+    # Solver time-to-solution, slope-timed like the SpMV (the ~30 ms
+    # remote-tunnel dispatch would otherwise swamp the device time).
+    # Chained solves are made data-dependent through a 1e-14 perturbation
+    # of b — too small to change the iteration count, big enough that XLA
+    # cannot fold the chain.
+    def _solve_slope(fn, b, c1=1, c2=5):
+        b = jnp.asarray(b)
+
+        def step(v):
+            return fn(b + 1e-14 * v).astype(b.dtype)
+
+        return _slope_timed(step, jnp.zeros_like(b), c1, c2)[0]
+
+    b = np.arange(n, dtype=np.float64)
+
+    # (a) Mixed-precision CG (f32 Pallas inner + f64 refinement) at the
+    # reference direct tolerance 1e-10 (cusparse.c:184), RHS r[i]=i.
     cls, params = get_solver("cg_ir")
     solver = cls(A0, rtol=1e-10, ordering="rcm", **params)
-    b = np.arange(n, dtype=np.float64)
-    fn = solver.solve_fn()
-    jax.block_until_ready(fn(b))
-    t0 = time.perf_counter()
-    jax.block_until_ready(fn(b))
-    cg_s = time.perf_counter() - t0
+    cg_s = _solve_slope(solver.solve_fn(), b)
     res = solver.solve(b)
+
+    # (b) The reference's DEFAULT protocol: CHOLMOD factor-once, timed
+    # repeated solves (cholmod-impl.h:44-63) — here f32 explicit-inverse
+    # GEMV + double-float residual refinement to 1e-10.
+    ccls, cparams = get_solver("cholmod")
+    csolver = ccls(A0, **cparams)
+    chol_s = _solve_slope(csolver.solve_fn(), b)
+    cres = csolver.solve(b)
 
     print(json.dumps({
         "metric": f"spmv_f32_nnz_per_s[{matrix_name}]",
@@ -124,10 +142,12 @@ def main():
             "df64_gnnz_per_s": round(A.nnz / t_df64 / 1e9, 3),
             "hbm_gb_per_s": round(bsr.bytes_streamed / t_pallas / 1e9, 1),
             "dispatch_latency_ms": round(disp * 1e3, 1),
-            "cg_fp32ir_solve_s": round(cg_s, 4),
+            "cg_fp32ir_solve_s": round(cg_s, 5),
             "cg_iters": res.iters,
             "cg_relres": res.relres,
             "cg_converged": res.converged,
+            "cholmod_solve_ms": round(chol_s * 1e3, 3),
+            "cholmod_relres": cres.relres,
             "n": n, "nnz": A.nnz,
             "device": str(jax.devices()[0].device_kind),
         },
