@@ -33,29 +33,34 @@ import jax.numpy as jnp
 REF_MATRIX = "/root/reference/tests/xn3b_A_10.txt"
 
 
-def _chain_wall(fn, x0, chain, reps=3):
-    """Median wall-clock of ONE dispatch of `chain` dependent fn steps."""
+def _chain_wall(fn, x0, chain, reps=3, args=()):
+    """Median wall-clock of ONE dispatch of `chain` dependent fn steps.
+
+    `args` are device operands passed THROUGH the jit as arguments — a
+    closure would embed them as HLO literal constants, and the remote-TPU
+    compile tunnel rejects programs past ~100 MB (HTTP 413; hit by the
+    164 MB dense-inverse operand of the cholmod solver)."""
     @jax.jit
-    def chained(x):
+    def chained(args, x):
         def body(_, v):
-            y = fn(v)
+            y = fn(args, v)
             return y / jnp.max(jnp.abs(y))
         return jax.lax.fori_loop(0, chain, body, x)
 
-    jax.block_until_ready(chained(x0))  # compile + warm
+    jax.block_until_ready(chained(args, x0))  # compile + warm
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(chained(x0))
+        jax.block_until_ready(chained(args, x0))
         ts.append(time.perf_counter() - t0)
     return sorted(ts)[reps // 2]
 
 
-def _slope_timed(fn, x0, c1, c2, reps=3):
+def _slope_timed(fn, x0, c1, c2, reps=3, args=()):
     """Per-step time as the slope over two chain lengths (removes the
     per-dispatch latency), plus the inferred dispatch intercept."""
-    w1 = _chain_wall(fn, x0, c1, reps)
-    w2 = _chain_wall(fn, x0, c2, reps)
+    w1 = _chain_wall(fn, x0, c1, reps, args=args)
+    w2 = _chain_wall(fn, x0, c2, reps, args=args)
     slope = max((w2 - w1) / (c2 - c1), 1e-12)
     intercept = max(w1 - slope * c1, 0.0)
     return slope, intercept
@@ -82,13 +87,16 @@ def main():
     n = A.nrows
     x0 = jnp.asarray(np.random.default_rng(0).random(n), dtype=jnp.float32)
 
-    # Native path: Pallas BSR kernel (f32), RCM-densified blocks.
+    # Native path: Pallas BSR kernel (f32), RCM-densified blocks. Operands
+    # ride as jit ARGUMENTS (see _chain_wall).
     bsr = BsrMatrix.from_csr(A)
-    t_pallas, disp = _slope_timed(lambda v: spmv_bsr(bsr, v), x0, 200, 1200)
+    t_pallas, disp = _slope_timed(lambda a, v: spmv_bsr(a, v), x0, 200, 1200,
+                                  args=bsr)
 
     # Port-equivalent baseline: XLA gather ELL SpMV (same math, same chip).
     ell32 = EllMatrix.from_csr(A, dtype=jnp.float32)
-    t_gather, _ = _slope_timed(lambda v: spmv_ell(ell32, v), x0, 10, 60)
+    t_gather, _ = _slope_timed(lambda a, v: spmv_ell(a, v), x0, 10, 60,
+                               args=ell32)
 
     # FP64 path: double-float Pallas kernel (the reference's enforced
     # precision, lsbench.c:140-141, at ~2^-49 accuracy).
@@ -96,22 +104,26 @@ def main():
     from lsbench_tpu.ops.spmv_pallas import spmv_bsr_df64
     df = BsrDf64.from_csr(A)
     x64 = jnp.asarray(np.random.default_rng(1).random(n))
-    t_df64, _ = _slope_timed(lambda v: spmv_bsr_df64(df, v), x64, 100, 500)
+    t_df64, _ = _slope_timed(lambda a, v: spmv_bsr_df64(a, v), x64, 100, 500,
+                             args=df)
 
     gnnz_s = A.nnz / t_pallas / 1e9
 
     # Solver time-to-solution, slope-timed like the SpMV (the ~30 ms
     # remote-tunnel dispatch would otherwise swamp the device time).
-    # Chained solves are made data-dependent through a 1e-14 perturbation
-    # of b — too small to change the iteration count, big enough that XLA
-    # cannot fold the chain.
-    def _solve_slope(fn, b, c1=1, c2=5):
+    # Chained solves stay unfoldable because each step's rhs depends
+    # SYMBOLICALLY on the previous solution under jit (the 1e-14 scale
+    # keeps the numeric effect below the iteration-count threshold; for
+    # most entries of b it rounds to no change at all, which is fine —
+    # the dependence XLA sees is structural, not numerical).
+    def _solve_slope(solver, b, c1=1, c2=5):
         b = jnp.asarray(b)
+        fn, fargs = solver.solve_fn_args()
 
-        def step(v):
-            return fn(b + 1e-14 * v).astype(b.dtype)
+        def step(args, v):
+            return fn(args, b + 1e-14 * v).astype(b.dtype)
 
-        return _slope_timed(step, jnp.zeros_like(b), c1, c2)[0]
+        return _slope_timed(step, jnp.zeros_like(b), c1, c2, args=fargs)[0]
 
     b = np.arange(n, dtype=np.float64)
 
@@ -119,7 +131,7 @@ def main():
     # reference direct tolerance 1e-10 (cusparse.c:184), RHS r[i]=i.
     cls, params = get_solver("cg_ir")
     solver = cls(A0, rtol=1e-10, ordering="rcm", **params)
-    cg_s = _solve_slope(solver.solve_fn(), b)
+    cg_s = _solve_slope(solver, b)
     res = solver.solve(b)
 
     # (b) The reference's DEFAULT protocol: CHOLMOD factor-once, timed
@@ -127,7 +139,7 @@ def main():
     # GEMV + double-float residual refinement to 1e-10.
     ccls, cparams = get_solver("cholmod")
     csolver = ccls(A0, **cparams)
-    chol_s = _solve_slope(csolver.solve_fn(), b)
+    chol_s = _solve_slope(csolver, b)
     cres = csolver.solve(b)
 
     print(json.dumps({

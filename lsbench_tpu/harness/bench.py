@@ -92,6 +92,14 @@ def run_bench(
     res = solver.solve(b)
     true_relres = _relative_residual(solver.A, res.x, b)
 
+    # Precision-mode deviations (e.g. fp64 requested but executed as
+    # f32-factor + double-float refinement on TPU) are FIRST-CLASS in the
+    # record: the reference enforces FP64 (lsbench.c:140-141), so any
+    # substitution must be visible in the `precision` field itself, not
+    # only in extra.
+    if "mode" in res.extra:
+        precision = f"{precision}({res.extra['mode']})"
+
     return BenchRecord(
         matrix=matrix_name, n=solver.A.nrows, nnz=solver.A.nnz,
         trials=trials, solver=solver.name, ordering=ordering,

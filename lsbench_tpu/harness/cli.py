@@ -60,7 +60,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--solver", default=None,
                    help=f"one of: {', '.join(list_solvers())}")
     p.add_argument("--ordering", default="none", help="none | rcm | amd | metis")
-    p.add_argument("--precision", default="fp64", help="fp64 | fp32 | fp32_ir (fp16 rejected)")
+    p.add_argument("--precision", default="fp64",
+                   help="fp64 | fp32 | fp32_ir (fp16 rejected). On TPU, "
+                        "fp64 direct solves execute as f32 factor + "
+                        "double-float iterative refinement (reported as "
+                        "precision=fp64(fp32_ir_auto) — more accurate than "
+                        "XLA's emulated f64)")
     p.add_argument("--verbose", type=int, nargs="?", const=1, default=0)
     p.add_argument("--trials", type=int, default=100)
     # Extensions beyond the reference surface:

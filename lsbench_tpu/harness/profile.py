@@ -40,9 +40,8 @@ def trace(logdir: str):
         jax.profiler.stop_trace()
 
 
-def time_op(fn, x, chain: int = 100, reps: int = 5) -> float:
-    """Steady-state seconds per application of fn, amortizing dispatch by
-    chaining `chain` dependent applications inside one jit."""
+def _chain_wall(fn, x, chain: int, reps: int) -> float:
+    """Median wall seconds of ONE dispatch of `chain` dependent fn steps."""
 
     @jax.jit
     def chained(v):
@@ -57,7 +56,23 @@ def time_op(fn, x, chain: int = 100, reps: int = 5) -> float:
         t0 = time.perf_counter()
         jax.block_until_ready(chained(x))
         ts.append(time.perf_counter() - t0)
-    return sorted(ts)[reps // 2] / chain
+    return sorted(ts)[reps // 2]
+
+
+def time_op(fn, x, chain: int = 100, reps: int = 5) -> float:
+    """Steady-state seconds per application of fn.
+
+    Slope method: wall(c) = dispatch_latency + c * t_op measured at two
+    chain lengths; the slope removes the per-dispatch latency. Through the
+    remote-TPU tunnel that latency is ~30 ms — dividing a single chained
+    dispatch by `chain` (the round-1 approach) under-reported a 64 µs
+    kernel 6x. `chain` is the longer of the two lengths.
+    """
+    c1 = max(chain // 5, 1)
+    c2 = max(chain, c1 + 1)
+    w1 = _chain_wall(fn, x, c1, reps)
+    w2 = _chain_wall(fn, x, c2, reps)
+    return max((w2 - w1) / (c2 - c1), 1e-12)
 
 
 def spmv_roofline(op, x, nnz: int, stream_bytes: int, chain: int = 100) -> dict:

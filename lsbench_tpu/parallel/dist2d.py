@@ -211,7 +211,7 @@ class DistributedCg2d(Solver):
     def solve_fn(self):
         vals, cols, inv_diag = self._vals, self._cols, self._inv_diag
         jit_cg, pad = self._jit_cg, self._pad_b
-        return lambda b: jit_cg(vals, cols, inv_diag, pad(b))
+        return lambda b: jit_cg(vals, cols, inv_diag, pad(b))[0]
 
 
 class DistributedBicgstab2d(Solver):
@@ -316,7 +316,7 @@ class DistributedBicgstab2d(Solver):
 
     def solve_fn(self):
         args, jit, pad = self._args, self._jit, self._pad_b
-        return lambda b: jit(*args, pad(b))
+        return lambda b: jit(*args, pad(b))[0]
 
 
 def spmv_2d(A: CsrMatrix, mesh: Mesh, x, dtype=jnp.float64):

@@ -301,7 +301,7 @@ class DistributedAmg(_DistAmgBase):
     def solve_fn(self):
         lv, cl, pad = self._levels_dev, self._coarse_L, self._pad_b
         run = self._jit_run
-        return lambda b: run(lv, cl, pad(b))
+        return lambda b: run(lv, cl, pad(b))[0]
 
 
 class DistributedAmgCg(_DistAmgBase):
@@ -381,4 +381,4 @@ class DistributedAmgCg(_DistAmgBase):
     def solve_fn(self):
         lv, cl, pad = self._levels_dev, self._coarse_L, self._pad_b
         run = self._jit_cg
-        return lambda b: run(lv, cl, pad(b))
+        return lambda b: run(lv, cl, pad(b))[0]

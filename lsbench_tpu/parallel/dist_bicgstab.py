@@ -136,4 +136,4 @@ class DistributedBicgstab(Solver):
 
     def solve_fn(self):
         args, jit, pad = self._args, self._jit, self._pad_b
-        return lambda b: jit(*args, pad(b))
+        return lambda b: jit(*args, pad(b))[0]

@@ -165,4 +165,4 @@ class DistributedGmres(Solver):
     def solve_fn(self):
         args = (self._vals, self._cols, self._inv_diag)
         jit, pad = self._jit, self._pad_b
-        return lambda b: jit(*args, pad(b))
+        return lambda b: jit(*args, pad(b))[0]

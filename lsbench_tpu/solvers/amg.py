@@ -432,7 +432,15 @@ class AmgSolver(Solver):
         self.cycles = int(cycles) if cycles is not None else None
         self.rtol = float(rtol)
         self.maxiter = int(maxiter)
-        del ordering  # coarsening is permutation-invariant; flag accepted
+        if str(ordering).lower() not in ("none", ""):
+            # AMG coarsening is permutation-invariant; the flag is accepted
+            # for CLI parity (cusparse.c:66-85 is the only reference user)
+            # but has no effect here — say so instead of silently ignoring.
+            import sys
+            print(f"amg: --ordering {ordering} has no effect "
+                  "(AMG coarsening is permutation-invariant); ignoring.",
+                  file=sys.stderr)
+        del ordering
 
         opts = AmgOptions(cycle=cycle, theta=theta, coarsening=coarsening,
                           interp=interp, smoother=smoother,
@@ -513,7 +521,7 @@ class AmgSolver(Solver):
 
     def solve_fn(self):
         params, jit_solve = self._params, self._jit_solve
-        return lambda b: jit_solve(*params, b)
+        return lambda b: jit_solve(*params, b)[0]
 
 
 def amg_precond(A: CsrMatrix, dtype, **amg_params):

@@ -53,10 +53,25 @@ class Solver(abc.ABC):
         """Solve A x = b. Must be safe to call repeatedly (bench trials)."""
 
     # Optional fast path used by the bench loop: a jitted callable
-    # `fn(b) -> x_like` that performs one full solve with no host round
-    # trips; defaults to `solve`.
+    # `fn(b) -> x` that performs one full solve with no host round trips
+    # and returns ONLY the solution array (never the solver's internal
+    # (x, iters, ...) tuple — bench.py chains fn output back into b, so
+    # the return must be a single array; distributed solvers may return
+    # the padded row-sharded solution of length n_pad). Defaults to
+    # `solve`.
     def solve_fn(self) -> Callable[[jax.Array], Any]:
         return lambda b: self.solve(b).x
+
+    # Like solve_fn, but the device operands are returned separately:
+    # (fn, args) with fn(args, b) -> x. Callers that wrap the solve in an
+    # OUTER jit (e.g. bench.py's chained slope timing) must pass `args`
+    # through as jit arguments — a closure would embed them as HLO
+    # literal constants, which breaks at scale (the remote-TPU compile
+    # tunnel rejects >~100 MB programs with HTTP 413; a dense n=6.4k f32
+    # inverse is 164 MB).
+    def solve_fn_args(self):
+        fn = self.solve_fn()
+        return (lambda args, b: fn(b)), ()
 
     def matvec_op(self):
         """(matvec_fn, nnz, stream_bytes) for roofline reporting, or None

@@ -177,4 +177,4 @@ class CgSolver(Solver):
     def solve_fn(self):
         op, pstate = self._op, self._pstate
         jit_solve = self._jit_solve
-        return lambda b: jit_solve(op, pstate, b)
+        return lambda b: jit_solve(op, pstate, b)[0]

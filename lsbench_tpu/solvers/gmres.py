@@ -136,4 +136,4 @@ class GmresSolver(Solver):
 
     def solve_fn(self):
         op, pstate, jit_solve = self._op, self._pstate, self._jit_solve
-        return lambda b: jit_solve(op, pstate, b)
+        return lambda b: jit_solve(op, pstate, b)[0]

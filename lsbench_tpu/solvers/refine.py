@@ -124,4 +124,9 @@ class CgIrSolver(Solver):
     def solve_fn(self):
         args = (self._op, self._op64, self._pstate)
         jit_solve = self._jit_solve
-        return lambda b: jit_solve(*args, b)
+        return lambda b: jit_solve(*args, b)[0]
+
+    def solve_fn_args(self):
+        jit_solve = self._jit_solve
+        return ((lambda args, b: jit_solve(*args, b)[0]),
+                (self._op, self._op64, self._pstate))

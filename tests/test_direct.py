@@ -66,19 +66,17 @@ def test_cholmod_alias_factors_once_cusolver_refactors():
 
 def test_cholesky_reference_tolerance(ref_data_dir):
     # Direct solve hits the reference tolerance 1e-10 (cusparse.c:184)
-    # against the symmetrized operator: like CHOLMOD's stype=-1 triplet
-    # (cholmod-impl.h:13-16), Cholesky factorizes one triangle, i.e. the
-    # symmetric part; xn3b is symmetric only to file round-off (3.6e-7,
-    # BASELINE.md), which bounds the residual vs the raw matrix.
+    # against the ORIGINAL operator. Cholesky factorizes the symmetric
+    # part (like CHOLMOD's stype=-1 triplet, cholmod-impl.h:13-16), and
+    # xn3b is symmetric only to file round-off (3.6e-7, BASELINE.md) —
+    # but the post-factor refinement passes target the raw matrix, so the
+    # residual the reference's disabled oracle would compute
+    # (norm(b−Ax), cholmod-impl.h:47-53) reaches fp64 grade.
     from lsbench_tpu.matrix.io import read_matrix
     A = read_matrix(ref_data_dir / "xn3b_A_18.txt")
     b = make_rhs(A.nrows)
     res = make("cholesky", A, ordering="amd").solve(b)
-    assert res.relres < 1e-5  # raw-matrix residual, limited by asymmetry
-    sym = (A.to_dense() + A.to_dense().T) / 2
-    x = np.asarray(res.x)
-    rr = np.linalg.norm(b - sym @ x) / np.linalg.norm(b)
-    assert rr < 1e-10
+    assert res.relres < 1e-10  # raw-matrix residual, refined
 
 
 def test_dense_guard():

@@ -1,0 +1,124 @@
+"""Distributed Pallas-BSR SpMV path (CPU-simulated mesh, interpret mode).
+
+The flagship BSR kernel (ops/spmv_pallas.py) running INSIDE shard_map after
+the ppermute halo exchange — VERDICT r1 item 3. On the simulated mesh the
+kernel runs in interpret mode; the code path (plan build, halo-local column
+renumbering, stacked per-device layouts, shard_map plumbing) is identical
+to hardware.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from conftest import make_rhs
+from lsbench_tpu.matrix.generate import poisson_2d
+from lsbench_tpu.parallel.dist_cg import DistributedCg
+from lsbench_tpu.parallel.dist_spmv import (build_halo_bsr_plan,
+                                            halo_spmv_bsr_df64_local,
+                                            halo_spmv_bsr_local)
+from lsbench_tpu.parallel.mesh import ROWS, make_row_mesh
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 2,
+                                reason="needs multi-device mesh")
+
+
+def _dist_spmv_bsr(A, mesh, x, dtype):
+    """One-shot distributed y = A @ x through the Pallas-BSR local path."""
+    plan = build_halo_bsr_plan(A, mesh.devices.size, dtype)
+    assert not plan.needs_all_gather
+    vec_shard = NamedSharding(mesh, P(ROWS))
+    df64 = jnp.dtype(dtype) == jnp.dtype(jnp.float64)
+
+    if df64:
+        specs = (P(ROWS, None), P(ROWS, None, None, None),
+                 P(ROWS, None, None, None), P(ROWS))
+        args = (plan.bcols, plan.blocks_hi, plan.blocks_lo)
+
+        @partial(shard_map, mesh=mesh, in_specs=specs, out_specs=P(ROWS),
+                 check_vma=False)
+        def run(bcols_l, bh_l, bl_l, x_l):
+            return halo_spmv_bsr_df64_local(
+                plan.halo, plan.nloc, plan.n_ext, bcols_l, bh_l, bl_l, x_l)
+    else:
+        specs = (P(ROWS, None), P(ROWS, None, None, None), P(ROWS))
+        args = (plan.bcols, plan.blocks_hi)
+
+        @partial(shard_map, mesh=mesh, in_specs=specs, out_specs=P(ROWS),
+                 check_vma=False)
+        def run(bcols_l, blocks_l, x_l):
+            return halo_spmv_bsr_local(
+                plan.halo, plan.nloc, plan.n_ext, bcols_l, blocks_l, x_l)
+
+    xp = jnp.zeros(plan.n_pad, dtype=dtype).at[: plan.n].set(
+        jnp.asarray(x, dtype=dtype))
+    y = run(*args, jax.device_put(xp, vec_shard))
+    return np.asarray(y)[: plan.n]
+
+
+def test_dist_spmv_bsr_f32_matches_host():
+    A = poisson_2d(24)  # banded: halo fits
+    mesh = make_row_mesh()
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(A.nrows)
+    y = _dist_spmv_bsr(A, mesh, x, jnp.float32)
+    y_ref = A.matvec(x)
+    np.testing.assert_allclose(y, y_ref, rtol=2e-5, atol=2e-4)
+
+
+def test_dist_spmv_bsr_df64_matches_host():
+    A = poisson_2d(24)
+    mesh = make_row_mesh()
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(A.nrows)
+    y = _dist_spmv_bsr(A, mesh, x, jnp.float64)
+    y_ref = A.matvec(x)
+    # Double-float: ~2^-49 relative.
+    np.testing.assert_allclose(y, y_ref, rtol=1e-13, atol=1e-12)
+
+
+def test_dist_cg_bsr_matches_ell_f64():
+    A = poisson_2d(20)
+    b = make_rhs(A.nrows)
+    mesh = make_row_mesh()
+    ell = DistributedCg(A, mesh, rtol=1e-10, dtype=jnp.float64,
+                        local_spmv="ell")
+    bsr = DistributedCg(A, mesh, rtol=1e-10, dtype=jnp.float64,
+                        local_spmv="bsr")
+    assert bsr.local_spmv == "bsr"
+    r_ell = ell.solve(b)
+    r_bsr = bsr.solve(b)
+    assert r_bsr.converged
+    np.testing.assert_allclose(r_bsr.x, r_ell.x, rtol=1e-8, atol=1e-8)
+    # True residual oracle (the check the reference commented out).
+    relres = np.linalg.norm(b - A.matvec(r_bsr.x)) / np.linalg.norm(b)
+    assert relres < 1e-9
+
+
+def test_dist_cg_bsr_f32():
+    A = poisson_2d(16)
+    b = make_rhs(A.nrows)
+    mesh = make_row_mesh()
+    bsr = DistributedCg(A, mesh, rtol=1e-5, dtype=jnp.float32,
+                        local_spmv="bsr")
+    res = bsr.solve(b)
+    assert res.converged
+    relres = np.linalg.norm(b - A.matvec(np.asarray(res.x, np.float64)))
+    assert relres / np.linalg.norm(b) < 1e-4
+
+
+def test_bsr_requires_halo():
+    # Dense-ish coupling: halo exceeds block size -> bsr must refuse.
+    rng = np.random.default_rng(2)
+    n = 64
+    dense = rng.standard_normal((n, n)) + n * np.eye(n)
+    from lsbench_tpu.matrix.csr import CsrMatrix
+    A = CsrMatrix.from_dense(dense)
+    mesh = make_row_mesh()
+    with pytest.raises(ValueError, match="halo|bsr"):
+        DistributedCg(A, mesh, local_spmv="bsr")
