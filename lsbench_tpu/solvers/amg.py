@@ -92,6 +92,79 @@ def aggregate(A: CsrMatrix, theta: float) -> tuple[np.ndarray, int]:
     return agg, nagg
 
 
+def pairwise_aggregate(A: CsrMatrix, npass: int = 2,
+                       beta: float = 0.25) -> tuple[np.ndarray, int]:
+    """Notay-style (double) pairwise aggregation (AGMG; the quality
+    aggregation behind parAlmond-class K-cycle AMG).
+
+    Each pass greedily matches every unaggregated node with its strongest
+    negative coupling among unaggregated neighbours (|a_ij| ≥ beta ·
+    max-negative-coupling filter); `npass=2` composes two matchings →
+    aggregates of ≤ 4 nodes and a ~4x grid ratio. Bounded aggregates are
+    what the greedy distance-1 scheme lacks on wide-stencil (SEM-type)
+    matrices — there a root swallows its whole 23-neighbour stencil and
+    the coarse grid is 12x smaller with piecewise-constant interpolation
+    across it (measured cycle factor 0.94 on xn3b_A_18; 2-pass pairwise
+    reaches ~4x ratio instead).
+    """
+    n = A.nrows
+    agg = np.arange(n, dtype=np.int64)  # start: every node a singleton
+
+    Ac = A
+    cur = np.arange(n, dtype=np.int64)  # node -> current coarse id
+    for _ in range(npass):
+        m = Ac.nrows
+        r, c, v = Ac.to_coo()
+        d = Ac.diagonal()
+        sign = np.where(d >= 0, 1.0, -1.0)
+        neg = (r != c) & (v * sign[r] < 0)
+        # Strongest negative coupling per row (for the beta filter).
+        w = np.where(neg, -v * sign[r], 0.0)
+        rowmax = np.zeros(m)
+        np.maximum.at(rowmax, r, w)
+
+        # Greedy matching, visiting rows by ascending number of strong
+        # neighbours (Notay's priority: constrained nodes first).
+        strong = neg & (w >= beta * rowmax[r]) & (w > 0)
+        sr, sc, sw = r[strong], c[strong], w[strong]
+        deg = np.bincount(sr, minlength=m)
+        order = np.argsort(deg, kind="stable")
+        # CSR-ish access into the strong edge list.
+        sidx = np.argsort(sr, kind="stable")
+        sr_s, sc_s, sw_s = sr[sidx], sc[sidx], sw[sidx]
+        start = np.searchsorted(sr_s, np.arange(m + 1))
+
+        mate = np.full(m, -1, dtype=np.int64)
+        for i in order:
+            if mate[i] >= 0:
+                continue
+            lo, hi = start[i], start[i + 1]
+            if lo == hi:
+                mate[i] = i  # singleton
+                continue
+            cands = sc_s[lo:hi]
+            free = mate[cands] < 0
+            if not free.any():
+                mate[i] = i
+                continue
+            j = cands[free][np.argmax(sw_s[lo:hi][free])]
+            mate[i] = j
+            mate[j] = i
+
+        # Coarse ids: one per pair (or singleton).
+        rep = np.minimum(np.arange(m), mate)
+        uniq, cmap = np.unique(rep, return_inverse=True)
+        cur = cmap[cur]
+        # Coarse operator for the next pass (plain Galerkin with
+        # piecewise-constant P).
+        P = CsrMatrix.from_coo(np.arange(m), cmap, np.ones(m),
+                               nrows=m, ncols=uniq.size,
+                               sum_duplicates=False)
+        Ac = rap(P.transpose(), Ac, P)
+
+    return cur, Ac.nrows
+
+
 def tentative_prolongator(agg: np.ndarray, nagg: int,
                           nullspace: np.ndarray | None = None) -> CsrMatrix:
     """Piecewise-constant P from the near-nullspace vector (default: the
@@ -158,8 +231,11 @@ class AmgOptions:
     interp: str = "direct"       # classical interpolation: "direct" or
     #                              "jacobi" (direct + Jacobi improvement,
     #                              the ext+i distance-2 role, hypre.c:128)
-    smoother: str = "chebyshev"  # "chebyshev" (hypre cheby order, hypre.c:137)
-    #                              or "jacobi" (weight auto-scaled by ρ(D⁻¹A))
+    smoother: str = "chebyshev"  # "chebyshev" (hypre cheby order, hypre.c:137),
+    #                              "jacobi" (weight auto-scaled by ρ(D⁻¹A)),
+    #                              or "l1_jacobi" (ℓ1-scaled, convergent
+    #                              undamped — hypre relax 8 family,
+    #                              hypre.c:137)
     degree: int = 2              # Chebyshev degree / Jacobi sweeps
     jacobi_scale: float = 4.0 / 3.0  # ω = scale / ρ(D⁻¹A)
     cheby_lower: float = 0.30    # λmin = lower·ρ (hypre cheby fraction style)
@@ -184,6 +260,18 @@ def _coarsen_level(Al: CsrMatrix, opts: AmgOptions, level: int
         from lsbench_tpu.solvers.classical_amg import classical_coarsen
         theta = 0.25 if opts.theta is None else opts.theta
         return classical_coarsen(Al, theta, seed=level, interp=opts.interp)
+    if opts.coarsening in ("pairwise", "sa_pairwise"):
+        # Bounded (≤4-node) aggregates; "pairwise" keeps the piecewise-
+        # constant P (pair with cycle="k" — the AGMG/parAlmond recipe),
+        # "sa_pairwise" smooths it (energy-minimized basis).
+        beta = 0.25 if opts.theta is None else opts.theta
+        agg, nagg = pairwise_aggregate(Al, npass=2, beta=beta)
+        if nagg == 0:
+            return None, 0
+        T = tentative_prolongator(agg, nagg)
+        if opts.coarsening == "sa_pairwise":
+            return smooth_prolongator(Al, T), nagg
+        return T, nagg
     theta = 0.08 if opts.theta is None else opts.theta
     agg, nagg = aggregate(Al, theta)
     if nagg == 0:
@@ -214,7 +302,7 @@ def build_matrix_hierarchy(A: CsrMatrix, opts: AmgOptions):
     from lsbench_tpu.harness import cache
     key = None
     if cache.is_enabled():
-        key = cache.key_of(cache.fingerprint_csr(A), "amg_hier_v3",
+        key = cache.key_of(cache.fingerprint_csr(A), "amg_hier_v4",
                            opts.coarsening, opts.theta, opts.interp,
                            opts.coarse_n, opts.max_levels,
                            opts.min_coarsen_ratio, opts.reorder_coarse)
@@ -225,6 +313,7 @@ def build_matrix_hierarchy(A: CsrMatrix, opts: AmgOptions):
                          P=_unpack_csr(hit, f"l{l}_P"),
                          R=_unpack_csr(hit, f"l{l}_R"),
                          dinv=hit[f"l{l}_dinv"],
+                         dinv_l1=hit[f"l{l}_dinv_l1"],
                          rho=float(hit[f"l{l}_rho"][0]))
                     for l in range(nlev)]
             return mats, _unpack_csr(hit, "coarse")
@@ -250,9 +339,18 @@ def build_matrix_hierarchy(A: CsrMatrix, opts: AmgOptions):
         Ac = rap(R, Al, P)
         d = Al.diagonal()
         dinv = 1.0 / np.where(d != 0, d, 1.0)
+        # ℓ1 diagonal d_i = a_ii + Σ_{j≠i}|a_ij| — the convergent-without-
+        # damping smoother scaling of Hypre's ℓ1 relaxation family
+        # (relax type 8, hypre.c:137).
+        rl, cl_, vl = Al.to_coo()
+        l1 = d.copy()
+        offm = rl != cl_
+        np.add.at(l1, rl[offm], np.abs(vl[offm]))
+        dinv_l1 = 1.0 / np.where(l1 != 0, l1, 1.0)
         # Smoother spectral bound: ρ(D⁻¹A) per level (power iteration).
         rho = estimate_rho_dinv_a(Al, dinv)
-        mats.append(dict(A=Al, P=P, R=R, dinv=dinv, rho=rho))
+        mats.append(dict(A=Al, P=P, R=R, dinv=dinv, dinv_l1=dinv_l1,
+                         rho=rho))
         Al = Ac
 
     if key is not None:
@@ -262,6 +360,7 @@ def build_matrix_hierarchy(A: CsrMatrix, opts: AmgOptions):
             _pack_csr(out, f"l{l}_P", m["P"])
             _pack_csr(out, f"l{l}_R", m["R"])
             out[f"l{l}_dinv"] = m["dinv"]
+            out[f"l{l}_dinv_l1"] = m["dinv_l1"]
             out[f"l{l}_rho"] = np.asarray([m["rho"]])
         _pack_csr(out, "coarse", Al)
         cache.store_arrays("amg_hier", key, out)
@@ -318,8 +417,10 @@ def build_hierarchy(A: CsrMatrix, opts: AmgOptions, dtype, layout: str):
         a_ap, a_op, _ = build_matvec(m["A"], dtype, per_level(m["A"]))
         p_ap, p_op, _ = build_matvec(m["P"], dtype, per_level(m["P"]))
         r_ap, r_op, _ = build_matvec(m["R"], dtype, per_level(m["R"]))
-        level_params.append(dict(a=a_op, p=p_op, r=r_op,
-                                 inv_diag=jnp.asarray(m["dinv"], dtype=dtype)))
+        level_params.append(dict(
+            a=a_op, p=p_op, r=r_op,
+            inv_diag=jnp.asarray(m["dinv"], dtype=dtype),
+            inv_l1=jnp.asarray(m["dinv_l1"], dtype=dtype)))
         level_aps.append(dict(a=a_ap, p=p_ap, r=r_ap, rho=m["rho"],
                               n_fine=m["A"].nrows, n_coarse=m["P"].ncols))
     return level_params, level_aps, coarse_cholesky(Al, dtype)
@@ -363,7 +464,18 @@ def make_vcycle(level_aps, opts: AmgOptions, dtype) -> Callable:
             rho_k = rho_k1
         return x + d
 
-    smooth = chebyshev_smooth if opts.smoother == "chebyshev" else jacobi_smooth
+    def l1_jacobi_smooth(ap, L, b, x):
+        """ℓ1-Jacobi: x += D_ℓ1⁻¹ (b − Ax), D_ℓ1 = a_ii + Σ_{j≠i}|a_ij|.
+        Convergent without damping for SPD A (Baker, Falgout, Kolev &
+        Yang 2011) — the hypre relax-8 family member that vectorizes
+        (the GS half is sequential; on TPU ℓ1-Jacobi is the right pick)."""
+        for _ in range(opts.degree):
+            x = x + L["inv_l1"] * (b - ap["a"](L["a"], x))
+        return x
+
+    smooth = {"chebyshev": chebyshev_smooth,
+              "jacobi": jacobi_smooth,
+              "l1_jacobi": l1_jacobi_smooth}[opts.smoother]
     nlev = len(level_aps)
 
     def coarse_correct(levels, coarse_L, lvl: int, rc):
@@ -448,8 +560,11 @@ class AmgSolver(Solver):
                           post_sweeps=post_sweeps, coarse_n=coarse_n,
                           max_levels=max_levels)
         self.opts = opts
+        import time as _time
+        _t0 = _time.perf_counter()
         level_params, level_aps, coarse_L = build_hierarchy(
             A, opts, self.dtype, self.layout)
+        self.setup_breakdown["hierarchy_s"] = _time.perf_counter() - _t0
         self.n_levels = len(level_aps) + 1
         vcycle = make_vcycle(level_aps, opts, self.dtype)
         # Fine-level residual operator (independent of hierarchy depth).

@@ -47,6 +47,11 @@ class Solver(abc.ABC):
     def __init__(self, A: CsrMatrix, dtype=None, **params):
         self.A = A
         self.params = params
+        # Populated by subclasses: wall-seconds per setup phase
+        # ("ordering_s", "factor_s", "layout_s", "hierarchy_s", ...) so the
+        # 20–100 s TPU setup is attributable in the JSON record (VERDICT r1
+        # item 10); compile time shows up as the bench's first_call_s.
+        self.setup_breakdown: dict[str, float] = {}
 
     @abc.abstractmethod
     def solve(self, b: jax.Array) -> SolveResult:

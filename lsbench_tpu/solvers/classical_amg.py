@@ -119,6 +119,187 @@ def promote_uninterpolable(state: np.ndarray, s_rows: np.ndarray,
         state[bad] = CPOINT
 
 
+def promote_uninterpolable_d2(state: np.ndarray, s_rows: np.ndarray,
+                              s_cols: np.ndarray) -> np.ndarray:
+    """Distance-2-aware promotion for ext+i interpolation: promote to C
+    only F-points with strong dependencies but no C-point within distance
+    2 of the strength graph (no strong C-neighbour AND no strong
+    F-neighbour that itself has a strong C-neighbour). Far rarer than the
+    distance-1 criterion of `promote_uninterpolable`, so grids stay the
+    size PMIS intended (the reason Hypre pairs PMIS with distance-2
+    interpolation, hypre.c:127-128)."""
+    state = state.copy()
+    while True:
+        has_c_dep = np.zeros(state.size, dtype=bool)
+        edge_c = state[s_cols] == CPOINT
+        has_c_dep[s_rows[edge_c]] = True
+        # Distance 2: i --strong--> k (F) --strong--> j (C).
+        edge_ff = state[s_cols] == FPOINT
+        reach2 = np.zeros(state.size, dtype=bool)
+        reach2[s_rows[edge_ff & has_c_dep[s_cols]]] = True
+        has_dep = np.zeros(state.size, dtype=bool)
+        has_dep[s_rows] = True
+        bad = (state == FPOINT) & has_dep & ~(has_c_dep | reach2)
+        if not bad.any():
+            return state
+        state[bad] = CPOINT
+
+
+def _truncate_rows(nrows: int, wr: np.ndarray, wc: np.ndarray,
+                   wv: np.ndarray, pmax: int):
+    """Keep the pmax largest-|value| entries per row, rescaling to
+    preserve row sums (Hypre's P truncation with Pmax)."""
+    if not pmax or wr.size == 0:
+        return wr, wc, wv
+    order = np.lexsort((-np.abs(wv), wr))
+    wr_s = wr[order]
+    rank = np.arange(wr_s.size) - np.searchsorted(wr_s, wr_s)
+    keep = order[rank < pmax]
+    rowsum_all = np.zeros(nrows)
+    np.add.at(rowsum_all, wr, wv)
+    kr, kc, kv = wr[keep], wc[keep], wv[keep]
+    rowsum_kept = np.zeros(nrows)
+    np.add.at(rowsum_kept, kr, kv)
+    scale = np.divide(rowsum_all, rowsum_kept,
+                      out=np.ones(nrows), where=rowsum_kept != 0)
+    return kr, kc, kv * scale[kr]
+
+
+def extended_i_interpolation(A: CsrMatrix, s_idx: np.ndarray,
+                             state: np.ndarray, pmax: int = 4) -> CsrMatrix:
+    """Extended+i distance-2 interpolation — Hypre's interp type 6
+    (hypre.c:128; De Sterck, Falgout, Nolting & Yang 2008).
+
+    For an F-point i with strong C-set C_i, strong F-set F_i^s, and
+    extended set Ĉ_i = C_i ∪ (∪_{k∈F_i^s} C_k):
+
+        w_ij = -(1/ã_ii) [ a_ij + Σ_{k∈F_i^s} a_ik ā_kj / D_ik ]
+        D_ik = Σ_{l∈Ĉ_i∪{i}} ā_kl
+        ã_ii = a_ii + Σ_{n∈N_i^w, n∉Ĉ_i} a_in + Σ_{k∈F_i^s} a_ik ā_ki / D_ik
+
+    where ā_kl keeps only entries of opposite sign to a_kk (zero
+    otherwise), the "+i" being i's membership in the distribution set
+    (the ā_ki / D_ik terms). Strong F-neighbours whose distribution
+    weight D_ik vanishes are lumped into the diagonal (Hypre's fallback).
+    Truncated to `pmax` entries/row with row-sum rescaling.
+    """
+    n = A.nrows
+    r = A.row_indices()
+    c = A.cols
+    v = A.vals
+    d = A.diagonal()
+    off = r != c
+    fpt = state == FPOINT
+
+    in_s = np.zeros(A.nnz, dtype=bool)
+    in_s[s_idx] = True
+    sC = in_s & (state[c] == CPOINT)            # strong →C edges
+    sFF = in_s & (state[c] == FPOINT) & fpt[r]  # strong F→F edges
+    sign_d = np.where(d >= 0, 1.0, -1.0)
+    abar = off & (v * sign_d[r] < 0)            # ā: opposite sign to diag
+
+    # Strong-C adjacency in CSR order (rows sorted — CSR guarantees it).
+    scI = np.flatnonzero(sC)
+    sc_r, sc_c = r[scI], c[scI]
+    sc_cnt = np.bincount(sc_r, minlength=n)
+    sc_start = np.concatenate([[0], np.cumsum(sc_cnt)])
+    # ā adjacency.
+    abI = np.flatnonzero(abar)
+    ab_r, ab_c, ab_v = r[abI], c[abI], v[abI]
+    ab_cnt = np.bincount(ab_r, minlength=n)
+    ab_start = np.concatenate([[0], np.cumsum(ab_cnt)])
+
+    # Strong F→F edges from F rows: e = (i_e, k_e, a_ik).
+    eI = np.flatnonzero(sFF)
+    i_e, k_e, v_e = r[eI], c[eI], v[eI]
+    nE = i_e.size
+
+    def _expand(edge_rows, cnt, start):
+        """Per edge e, indices into the adjacency arrays of row
+        edge_rows[e]; returns (rep_edge_id, adjacency_pos)."""
+        cnts = cnt[edge_rows]
+        rep = np.repeat(np.arange(edge_rows.size), cnts)
+        base = np.concatenate([[0], np.cumsum(cnts)])[:-1]
+        pos = (np.arange(rep.size) - np.repeat(base, cnts)
+               + start[edge_rows[rep]])
+        return rep, pos
+
+    # T_i = {i} ∪ C_i ∪ ∪_{k∈F_i^s} C_k, as sorted i*n+l keys.
+    f_idx = np.flatnonzero(fpt)
+    keys_self = f_idx.astype(np.int64) * n + f_idx
+    selC = fpt[sc_r]
+    keys_c1 = sc_r[selC].astype(np.int64) * n + sc_c[selC]
+    rep2, pos2 = _expand(k_e, sc_cnt, sc_start)
+    keys_c2 = i_e[rep2].astype(np.int64) * n + sc_c[pos2]
+    T_keys = np.unique(np.concatenate([keys_self, keys_c1, keys_c2]))
+
+    # Denominators D_e = Σ_{l∈T_i} ā_kl and the ā_ki terms.
+    repA, posA = _expand(k_e, ab_cnt, ab_start)
+    lA = ab_c[posA]
+    keyA = i_e[repA].astype(np.int64) * n + lA
+    member = np.isin(keyA, T_keys, assume_unique=False)
+    D = np.zeros(nE)
+    np.add.at(D, repA[member], ab_v[posA[member]])
+    a_ki = np.zeros(nE)
+    sel_self = member & (lA == i_e[repA])
+    np.add.at(a_ki, repA[sel_self], ab_v[posA[sel_self]])
+
+    ok_e = D != 0.0
+
+    # Diagonal ã_ii accumulators (indexed by fine i).
+    diag_eff = d.copy()
+    # D==0 edges: lump a_ik (Hypre fallback).
+    np.add.at(diag_eff, i_e[~ok_e], v_e[~ok_e])
+    # "+i" terms: a_ik ā_ki / D_ik.
+    np.add.at(diag_eff, i_e[ok_e], v_e[ok_e] * a_ki[ok_e] / D[ok_e])
+
+    # Weak neighbours of F rows not in Ĉ_i lump into diag; those IN Ĉ_i
+    # contribute their a_ij directly (handled below by the membership
+    # test on ALL off-diagonal entries of F rows).
+    offF = np.flatnonzero(off & fpt[r] & ~sFF)
+    keyF = r[offF].astype(np.int64) * n + c[offF]
+    memF = np.isin(keyF, T_keys, assume_unique=False)
+    np.add.at(diag_eff, r[offF[~memF]], v[offF[~memF]])
+
+    # Numerator: direct a_ij for j ∈ Ĉ_i ...
+    dirI = offF[memF]
+    num_r = [r[dirI]]
+    num_c = [c[dirI]]
+    num_v = [v[dirI]]
+    # ... plus distributed distance-2 terms a_ik ā_kl / D_ik for l ∈ Ĉ_i.
+    selN = member & (lA != i_e[repA]) & ok_e[repA]
+    num_r.append(i_e[repA[selN]])
+    num_c.append(lA[selN])
+    num_v.append(v_e[repA[selN]] * ab_v[posA[selN]] / D[repA[selN]])
+
+    wr = np.concatenate(num_r)
+    wc = np.concatenate(num_c)
+    de = np.where(diag_eff != 0, diag_eff, 1.0)
+    wv = -np.concatenate(num_v) / de[wr]
+
+    # Sum duplicates (a_ij may coincide with a distributed target).
+    key_w = wr.astype(np.int64) * n + wc
+    uk, inv_map = np.unique(key_w, return_inverse=True)
+    wv_sum = np.zeros(uk.size)
+    np.add.at(wv_sum, inv_map, wv)
+    wr = (uk // n).astype(np.int64)
+    wc = (uk % n).astype(np.int64)
+
+    # Truncate per F row (row ids are fine indices; compact to F-local).
+    fmap = np.full(n, -1, dtype=np.int64)
+    fmap[f_idx] = np.arange(f_idx.size)
+    kr, kc, kv = _truncate_rows(f_idx.size, fmap[wr], wc, wv_sum, pmax)
+
+    cmap = np.cumsum(state == CPOINT) - 1
+    ncoarse = int(cmap[-1]) + 1 if n else 0
+    crows = np.flatnonzero(state == CPOINT)
+    rows = np.concatenate([f_idx[kr], crows])
+    cols = np.concatenate([cmap[kc], cmap[crows]])
+    vals = np.concatenate([kv, np.ones(crows.size)])
+    return CsrMatrix.from_coo(rows, cols, vals, nrows=n, ncols=ncoarse,
+                              sum_duplicates=True)
+
+
 def direct_interpolation(A: CsrMatrix, s_idx: np.ndarray, state: np.ndarray
                          ) -> CsrMatrix:
     """Classical direct interpolation P (F-rows) + identity (C-rows).
@@ -252,11 +433,22 @@ def classical_coarsen(A: CsrMatrix, theta: float, seed: int = 0,
                       interp: str = "direct", pmax: int = 4
                       ) -> tuple[CsrMatrix, int]:
     """One level of classical AMG coarsening: strength → PMIS → fixup →
-    interpolation ("direct", or "jacobi" = direct + one Jacobi-improvement
-    pass with truncation, the ext+i distance-2 role). Returns
-    (P, n_coarse)."""
+    interpolation. `interp`:
+
+    - "ext+i": true distance-2 extended+i (Hypre interp 6, hypre.c:128)
+    - "jacobi": direct + one Jacobi-improvement pass with truncation
+      (an approximation of the ext+i role)
+    - "direct": classical direct interpolation (C-promotion fixup)
+
+    Returns (P, n_coarse)."""
     s_rows, s_cols, s_idx = classical_strength(A, theta)
     state = pmis_splitting(A.nrows, s_rows, s_cols, seed=seed)
+    if interp in ("ext+i", "ext_i", "extended+i"):
+        state = promote_uninterpolable_d2(state, s_rows, s_cols)
+        if not (state == CPOINT).any():
+            return None, 0
+        return (lambda P: (P, P.ncols))(
+            extended_i_interpolation(A, s_idx, state, pmax=pmax))
     state = promote_uninterpolable(state, s_rows, s_cols)
     if not (state == CPOINT).any():
         return None, 0  # nothing to coarsen to (fully decoupled grid)

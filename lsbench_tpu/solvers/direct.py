@@ -62,6 +62,7 @@ class CholeskySolver(Solver):
             self._delegate = CholeskyIrSolver(
                 A, ordering=ordering, max_dense_n=max_dense_n,
                 refactor_each_solve=refactor_each_solve, **params)
+            self.setup_breakdown = self._delegate.setup_breakdown
             return
 
         from lsbench_tpu.ordering import get_ordering
@@ -125,7 +126,7 @@ class CholeskySolver(Solver):
     def solve(self, b) -> SolveResult:
         if self._delegate is not None:
             res = self._delegate.solve(b)
-            res.extra["mode"] = "fp32_ir_auto"
+            res.extra["precision_mode"] = "fp32_ir_auto"
             return res
         b = jnp.asarray(b)
         if self.refactor:
@@ -194,8 +195,12 @@ class CholeskyIrSolver(Solver):
         self.ordering = ordering
         self.refactor = bool(refactor_each_solve)
 
+        import time as _time
+
         from lsbench_tpu.ordering import get_ordering
+        _t0 = _time.perf_counter()
         perm = get_ordering(ordering, A)
+        self.setup_breakdown["ordering_s"] = _time.perf_counter() - _t0
         identity = bool(np.all(perm == np.arange(A.nrows)))
         Ap = A if identity else A.permuted(perm)
         perm_dev = None if identity else jnp.asarray(perm)
@@ -203,6 +208,7 @@ class CholeskyIrSolver(Solver):
         inv[perm] = np.arange(A.nrows)
         inv_dev = None if identity else jnp.asarray(inv)
 
+        _t0 = _time.perf_counter()
         dense_np = Ap.to_dense()
         sym32 = ((dense_np + dense_np.T) * 0.5).astype(np.float32)
         # Factor on HOST (LAPACK spotrf, ~0.2 s at reference scale) — the
@@ -228,6 +234,7 @@ class CholeskyIrSolver(Solver):
             del eye
             self._Ainv = jnp.asarray(ainv64.astype(np.float32))
             del ainv64
+        self.setup_breakdown["factor_s"] = _time.perf_counter() - _t0
 
         if jax.default_backend() == "tpu":
             from lsbench_tpu.matrix.bsr import BsrDf64

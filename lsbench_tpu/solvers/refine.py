@@ -42,8 +42,12 @@ class CgIrSolver(Solver):
         self.max_refine = int(max_refine)
         self.layout = resolve_layout(layout, jnp.float32)
 
+        import time as _time
+
         from lsbench_tpu.ordering import get_ordering
+        _t0 = _time.perf_counter()
         perm = get_ordering(ordering, A)
+        self.setup_breakdown["ordering_s"] = _time.perf_counter() - _t0
         identity = bool(np.all(perm == np.arange(A.nrows)))
         Ap = A if identity else A.permuted(perm)
         perm_dev = None if identity else jnp.asarray(perm)
@@ -51,6 +55,7 @@ class CgIrSolver(Solver):
         inv[perm] = np.arange(A.nrows)
         inv_dev = None if identity else jnp.asarray(inv)
 
+        _t0 = _time.perf_counter()
         apply32, self._op, self.stream_bytes = build_matvec(
             Ap, jnp.float32, self.layout)
         if jax.default_backend() == "tpu":
@@ -64,6 +69,7 @@ class CgIrSolver(Solver):
         else:
             self._op64 = EllMatrix.from_csr(Ap, dtype=jnp.float64)
             mv64 = spmv_ell
+        self.setup_breakdown["layout_s"] = _time.perf_counter() - _t0
         self._pstate, papply = get_preconditioner(precond)(
             Ap, jnp.float32, **(precond_params or {}))
 

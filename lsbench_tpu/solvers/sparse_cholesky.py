@@ -337,8 +337,12 @@ class SparseCholeskySolver(Solver):
                         and self.dtype == jnp.dtype(jnp.float64))
         level_dtype = jnp.float32 if self._ir_tpu else self.dtype
 
+        import time as _time
+
         from lsbench_tpu.ordering import get_ordering
+        _t0 = _time.perf_counter()
         perm = get_ordering(ordering, A)
+        self.setup_breakdown["ordering_s"] = _time.perf_counter() - _t0
         identity = bool(np.all(perm == np.arange(n)))
         Ap = A if identity else A.permuted(perm)
         self._perm = None if identity else jnp.asarray(perm)
@@ -356,16 +360,22 @@ class SparseCholeskySolver(Solver):
         if hit is not None:
             cp, ci, cx = hit["cp"], hit["ci"], hit["cx"]
         else:
+            _t0 = _time.perf_counter()
             As = symmetrize(Ap)
             parent = elimination_tree(As)
             loffs, lcols = symbolic_rows(As, parent)
+            self.setup_breakdown["symbolic_s"] = _time.perf_counter() - _t0
+            _t0 = _time.perf_counter()
             cp, ci, cx = numeric_factor(As, loffs, lcols)
+            self.setup_breakdown["factor_s"] = _time.perf_counter() - _t0
             if key is not None:
                 cache.store_arrays("spchol", key,
                                    {"cp": cp, "ci": ci, "cx": cx})
         self.fill_nnz = int(cp[-1])
+        _t0 = _time.perf_counter()
         solve, self.n_levels_f, self.n_levels_b, self.pad_waste = \
             build_level_solver(cp, ci, cx, n, level_dtype)
+        self.setup_breakdown["level_build_s"] = _time.perf_counter() - _t0
 
         perm_dev, inv_dev = self._perm, self._inv
 

@@ -1,24 +1,57 @@
-"""Test config: CPU backend with 8 virtual devices.
+"""Test config: CPU backend with 8 virtual devices (default lane), or the
+real TPU (hardware lane).
 
-Distributed code paths are tested on a simulated mesh
+Default: distributed code paths are tested on a simulated mesh
 (`--xla_force_host_platform_device_count=8`) exactly as they run on real
 ICI — same shard_map code, same collectives (SURVEY.md §4 item 3).
 Must run before the first jax import.
+
+Hardware lane (VERDICT r1 item 2 — catches interpret/hardware divergence
+like the onehot variant, ops/spmv_pallas.py):
+
+    LSBENCH_TPU_TESTS=1 python -m pytest tests/ -m tpu -q
+
+keeps the TPU backend and runs only the @pytest.mark.tpu tests
+(tests/test_tpu_hw.py). Without the env var, tpu-marked tests auto-skip.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+import pytest
+
+TPU_LANE = os.environ.get("LSBENCH_TPU_TESTS") == "1"
+
+if not TPU_LANE:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8").strip()
 
 # The image's sitecustomize pre-imports jax and pins JAX_PLATFORMS to the
 # TPU tunnel; the env var alone is read too early to help, so override the
 # live config as well (backend init is lazy, so this still wins).
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not TPU_LANE:
+    jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "tpu: needs real TPU hardware; run via LSBENCH_TPU_TESTS=1 "
+        "pytest -m tpu")
+
+
+def pytest_collection_modifyitems(config, items):
+    if TPU_LANE:
+        return
+    skip = pytest.mark.skip(
+        reason="TPU hardware lane off (LSBENCH_TPU_TESTS=1, -m tpu)")
+    for item in items:
+        if "tpu" in item.keywords:
+            item.add_marker(skip)
 
 from pathlib import Path
 

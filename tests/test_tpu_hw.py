@@ -1,0 +1,133 @@
+"""Real-TPU hardware lane (run: LSBENCH_TPU_TESTS=1 pytest -m tpu -q).
+
+Every Pallas kernel variant against the jnp oracle ON HARDWARE — interpret
+mode and v5e can disagree (the onehot variant is "measured incorrect on v5e
+hardware, fine in interpret mode", ops/spmv_pallas.py) — plus the two
+flagship solvers at the reference direct tolerance 1e-10 (cusparse.c:184,
+the oracle the reference commented out, cholmod-impl.h:47-53), and a CLI
+smoke. One chip; expect minutes of remote-compile on first run.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.tpu
+
+REF = "/root/reference/tests/xn3b_A_18.txt"
+
+
+def _require_tpu():
+    if jax.default_backend() not in ("tpu", "axon"):
+        pytest.skip(f"not on TPU (backend={jax.default_backend()})")
+    if not os.path.exists(REF):
+        pytest.skip("reference matrices unavailable")
+
+
+@pytest.fixture(scope="module")
+def A():
+    _require_tpu()
+    from lsbench_tpu.matrix.io import read_matrix
+    from lsbench_tpu.ordering.rcm import rcm_ordering
+    A0 = read_matrix(REF)
+    return A0.permuted(rcm_ordering(A0))
+
+
+@pytest.fixture(scope="module")
+def x32(A):
+    return jnp.asarray(
+        np.random.default_rng(0).random(A.nrows), dtype=jnp.float32)
+
+
+def _f32_oracle_check(y, y_ref):
+    y = np.asarray(y, dtype=np.float64)
+    y_ref = np.asarray(y_ref, dtype=np.float64)
+    denom = max(float(np.linalg.norm(y_ref)), 1e-30)
+    assert float(np.linalg.norm(y - y_ref)) / denom < 1e-6
+
+
+def test_spmv_bsr_prefetch_hw(A, x32):
+    from lsbench_tpu.matrix.bsr import BsrMatrix
+    from lsbench_tpu.ops.spmv_pallas import spmv_bsr
+    bsr = BsrMatrix.from_csr(A)
+    y = spmv_bsr(bsr, x32, interpret=False, variant="prefetch")
+    _f32_oracle_check(y, bsr.matvec_reference(x32))
+
+
+def test_spmv_bsr_selector_hw(A, x32):
+    from lsbench_tpu.matrix.bsr import BsrMatrix
+    from lsbench_tpu.ops.spmv_pallas import spmv_bsr
+    bsr = BsrMatrix.from_csr(A)
+    y = spmv_bsr(bsr, x32, interpret=False, variant="selector")
+    _f32_oracle_check(y, bsr.matvec_reference(x32))
+
+
+def test_spmv_bsr_compact_hw(A, x32):
+    from lsbench_tpu.matrix.bsr import BsrCompact
+    from lsbench_tpu.ops.spmv_pallas import spmv_bsr_compact
+    cmp_ = BsrCompact.from_csr(A)
+    y = spmv_bsr_compact(cmp_, x32, interpret=False)
+    _f32_oracle_check(y, cmp_.matvec_reference(x32))
+
+
+def test_spmv_bsr_classed_hw(A, x32):
+    from lsbench_tpu.matrix.bsr import BsrClassed
+    from lsbench_tpu.ops.spmv_pallas import spmv_bsr_classed
+    cl = BsrClassed.from_csr(A)
+    y = spmv_bsr_classed(cl, x32, interpret=False)
+    _f32_oracle_check(y, cl.matvec_reference(x32))
+
+
+def test_spmv_df64_hw(A):
+    from lsbench_tpu.matrix.bsr import BsrDf64
+    from lsbench_tpu.ops.spmv_pallas import spmv_bsr_df64
+    df = BsrDf64.from_csr(A)
+    x = jnp.asarray(np.random.default_rng(1).random(A.nrows))
+    y = np.asarray(spmv_bsr_df64(df, x, interpret=False), dtype=np.float64)
+    y_ref = A.matvec(np.asarray(x, dtype=np.float64))
+    rel = np.linalg.norm(y - y_ref) / np.linalg.norm(y_ref)
+    assert rel < 1e-13  # double-float: ~2^-49
+
+
+def test_cholmod_solve_hw():
+    _require_tpu()
+    from lsbench_tpu.matrix.io import read_matrix
+    from lsbench_tpu.solvers.base import get_solver
+    A = read_matrix(REF)
+    b = np.arange(A.nrows, dtype=np.float64)
+    cls, params = get_solver("cholmod")
+    s = cls(A, **params)
+    res = s.solve(b)
+    true_rr = np.linalg.norm(b - A.matvec(np.asarray(res.x, np.float64)))
+    assert true_rr / np.linalg.norm(b) <= 1e-10
+
+
+def test_cg_ir_solve_hw():
+    _require_tpu()
+    from lsbench_tpu.matrix.io import read_matrix
+    from lsbench_tpu.solvers.base import get_solver
+    A = read_matrix(REF)
+    b = np.arange(A.nrows, dtype=np.float64)
+    cls, params = get_solver("cg_ir")
+    s = cls(A, rtol=1e-10, ordering="rcm", **params)
+    res = s.solve(b)
+    assert res.converged
+    true_rr = np.linalg.norm(b - A.matvec(np.asarray(res.x, np.float64)))
+    assert true_rr / np.linalg.norm(b) <= 1e-9
+
+
+def test_cli_smoke_hw():
+    _require_tpu()
+    out = subprocess.run(
+        [sys.executable, "-m", "lsbench_tpu", "--matrix",
+         "/root/reference/tests/I1_05x05.txt", "--solver", "cg",
+         "--trials", "2", "--json"],
+        capture_output=True, text=True, timeout=900, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "===matrix,n,nnz,trials,solver,ordering,elapsed===" in out.stdout
