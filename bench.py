@@ -47,11 +47,16 @@ def _chain_wall(fn, x0, chain, reps=3, args=()):
             return y / jnp.max(jnp.abs(y))
         return jax.lax.fori_loop(0, chain, body, x)
 
-    jax.block_until_ready(chained(args, x0))  # compile + warm
+    # Completion fence = host transfer of the result, NOT block_until_ready:
+    # through the remote-TPU tunnel block_until_ready has been observed to
+    # return before the work is done (a 200-step chain "completing" in
+    # 0.09 ms), which zeroed the slope. np.asarray round-trips the (small)
+    # result vector and is reliably synchronous.
+    np.asarray(chained(args, x0))  # compile + warm
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(chained(args, x0))
+        np.asarray(chained(args, x0))
         ts.append(time.perf_counter() - t0)
     return sorted(ts)[reps // 2]
 

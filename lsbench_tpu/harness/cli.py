@@ -92,6 +92,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "(cg / amg / hypre / amgx / paralmond; use "
                         "XLA_FLAGS=--xla_force_host_platform_device_count=N "
                         "with --platform cpu to simulate)")
+    p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
+                   help="multi-host: jax.distributed coordinator address "
+                        "(process 0); meshes then span all hosts' devices "
+                        "(the MPI replacement, SURVEY.md §2.2)")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="multi-host: total process count (omit on TPU pods "
+                        "for autodetection)")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="multi-host: this process's id (omit on TPU pods)")
     p.add_argument("--mesh", default=None, metavar="RxC",
                    help="2-D device mesh for --devices runs, e.g. 2x4 "
                         "(cg only: all_gather over rows + psum_scatter "
@@ -155,6 +164,19 @@ def main(argv=None) -> int:
     if args.debug_nans:
         import jax
         jax.config.update("jax_debug_nans", True)
+
+    if args.coordinator:
+        from lsbench_tpu.parallel.mesh import init_distributed
+        try:
+            pid = init_distributed(args.coordinator, args.num_processes,
+                                   args.process_id)
+        except ValueError as e:
+            print(str(e), file=sys.stderr)
+            return 1
+        if args.verbose >= 1:
+            import jax
+            print(f"distributed: process {pid}/{jax.process_count()}, "
+                  f"{len(jax.devices())} global devices", file=sys.stderr)
 
     try:
         A = read_matrix(args.matrix)

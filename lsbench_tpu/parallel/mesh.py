@@ -15,6 +15,40 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 ROWS = "rows"
 COLS = "cols"
 
+_DISTRIBUTED_INITIALIZED = False
+
+
+def init_distributed(coordinator: str, num_processes: int | None = None,
+                     process_id: int | None = None) -> int:
+    """Multi-host seam — the `jax.distributed.initialize` path that
+    replaces the reference's vestigial MPI (SURVEY.md §2.2).
+
+    `coordinator` is "host:port" of process 0. On TPU pods,
+    num_processes/process_id are discovered from the environment; on
+    CPU/GPU fleets pass them explicitly. After this, `jax.devices()`
+    returns the GLOBAL device list, so `make_row_mesh`/`make_mesh_2d`
+    build pod-wide meshes unchanged — shardings lay collectives on ICI
+    within a slice and DCN across slices automatically.
+
+    Returns this process's id. Idempotent per process.
+    """
+    global _DISTRIBUTED_INITIALIZED
+    if not coordinator or ":" not in coordinator:
+        raise ValueError(
+            f"coordinator must be 'host:port', got '{coordinator}'")
+    if (num_processes is None) != (process_id is None):
+        raise ValueError("pass both num_processes and process_id, or "
+                         "neither (TPU-pod autodetection)")
+    if num_processes is not None and not (0 <= process_id < num_processes):
+        raise ValueError(
+            f"process_id {process_id} out of range [0, {num_processes})")
+    if not _DISTRIBUTED_INITIALIZED:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+        _DISTRIBUTED_INITIALIZED = True
+    return jax.process_index()
+
 
 def make_mesh_2d(pr: int, pc: int, devices=None) -> Mesh:
     """2-D (rows × cols) mesh for block-partitioned SpMV (parallel/dist2d.py)."""

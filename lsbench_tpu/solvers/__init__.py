@@ -7,6 +7,7 @@ from lsbench_tpu.solvers import bicgstab  # noqa: F401
 from lsbench_tpu.solvers import refine  # noqa: F401
 from lsbench_tpu.solvers import direct  # noqa: F401
 from lsbench_tpu.solvers import sparse_cholesky  # noqa: F401
+from lsbench_tpu.solvers import band_cholesky  # noqa: F401
 from lsbench_tpu.solvers import amg  # noqa: F401
 from lsbench_tpu.solvers import gmres  # noqa: F401
 from lsbench_tpu.solvers.base import register_alias

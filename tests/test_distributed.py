@@ -149,3 +149,25 @@ def test_dist_bicgstab_gmres_halo_strategy():
             sols[strat] = np.asarray(res.x)
             np.testing.assert_allclose(sols[strat], x_ref, rtol=1e-6,
                                        atol=1e-8)
+
+
+def test_init_distributed_validation():
+    # Multi-host seam (SURVEY.md §2.2): argument validation without
+    # actually bootstrapping a cluster.
+    import pytest
+    from lsbench_tpu.parallel.mesh import init_distributed
+    with pytest.raises(ValueError, match="host:port"):
+        init_distributed("nocolon")
+    with pytest.raises(ValueError, match="both"):
+        init_distributed("h:1234", num_processes=2)
+    with pytest.raises(ValueError, match="out of range"):
+        init_distributed("h:1234", num_processes=2, process_id=5)
+
+
+def test_cli_coordinator_flag_rejects_bad_address(tmp_path):
+    from lsbench_tpu.harness.cli import main
+    p = tmp_path / "m.txt"
+    p.write_text("1 0\n0 0 1.0\n")
+    rc = main(["--matrix", str(p), "--coordinator", "badaddress",
+               "--platform", "cpu"])
+    assert rc == 1
