@@ -37,6 +37,15 @@ def run_dryrun(n_devices: int) -> None:
     r2 = np.linalg.norm(b - A.matvec(x2)) / np.linalg.norm(b)
     assert res2.converged and r2 < 1e-8, (res2.iters, res2.relres, r2)
 
+    # Pallas-BSR local SpMV inside shard_map (interpret mode off-TPU —
+    # same plan build, halo renumbering, and shard_map plumbing as ICI).
+    bsr_cg = DistributedCg(A, mesh, dtype=jnp.float64, rtol=1e-10,
+                           local_spmv="bsr")
+    res_b = bsr_cg.solve(b)
+    xb = np.asarray(res_b.x)
+    rb = np.linalg.norm(b - A.matvec(xb)) / np.linalg.norm(b)
+    assert res_b.converged and rb < 1e-8, (res_b.iters, res_b.relres, rb)
+
     # 2-D block partition (all_gather over rows + psum_scatter over cols).
     if n_devices % 2 == 0 and n_devices >= 4:
         from lsbench_tpu.parallel.dist2d import DistributedCg2d
