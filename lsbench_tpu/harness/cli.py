@@ -194,19 +194,23 @@ def main(argv=None) -> int:
     # RHS r[i] = i (lsbench.c:158-160).
     b = np.arange(A.nrows, dtype=np.float64)
 
-    if precision == "fp32_ir":
-        if solver_name in ("cg", "cg_ir"):
-            solver_name = "cg_ir"
-        elif solver_name in ("cholesky", "cholesky_ir", "cholmod", "cusolver"):
-            solver_name = "cholesky_ir"
-        else:
-            print(f"Precision 'fp32_ir' is only implemented for the cg and "
-                  f"cholesky solver families (got '{solver_name}').",
-                  file=sys.stderr)
-            return 1
-
     cls, params = get_solver(solver_name)
-    if precision != "fp32_ir":
+    if precision == "fp32_ir":
+        # Remap the RESOLVED target (so alias params — e.g. ginkgo's
+        # rtol=1e-4/jacobi — survive) onto its iterative-refinement twin.
+        ir_map = {"cg": "cg_ir", "cholesky": "cholesky_ir",
+                  "gmres": "gmres_ir", "bicgstab": "bicgstab_ir"}
+        target = ir_map.get(cls.name, cls.name)
+        if not target.endswith("_ir"):
+            print(f"Precision 'fp32_ir' is only implemented for the cg, "
+                  f"cholesky, gmres, and bicgstab solver families "
+                  f"(got '{solver_name}').", file=sys.stderr)
+            return 1
+        ir_cls, _ = get_solver(target)
+        cls = ir_cls
+        if solver_name in ir_map:
+            solver_name = target
+    else:
         params["dtype"] = PRECISION_DTYPES[precision]
     params["ordering"] = ordering
     if args.rtol is not None:
@@ -221,6 +225,15 @@ def main(argv=None) -> int:
             return 1
         k, v = kv.split("=", 1)
         params[k] = _parse_opt_value(v)
+
+    # Force backend initialization OUTSIDE the solver-setup timer and
+    # attribute it: through the remote-TPU tunnel it costs 10-70 s (high
+    # variance) and otherwise lands on whichever setup phase touches a
+    # device array first, corrupting the setup_breakdown.
+    import jax as _jax
+    t0 = time.perf_counter()
+    _jax.devices()
+    backend_init_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     if args.devices > 1:
@@ -243,6 +256,7 @@ def main(argv=None) -> int:
                         precision=precision, setup_s=setup_s)
     # Report under the reference's original solver name for comparability.
     rec.solver = solver_name
+    rec.extra["backend_init_s"] = backend_init_s
 
     if args.roofline:
         op = solver.matvec_op()

@@ -83,55 +83,13 @@ class BsrMatrix:
     @staticmethod
     def from_csr(A: CsrMatrix, dtype=jnp.float32,
                  block_rows: int = BR) -> "BsrMatrix":
-        # Pad groups to a multiple of GPS so the kernel's (GPS*br)-row
-        # output tiles are full; padding groups are all-zero, block_col 0.
-        BRl = block_rows
-        n_groups = _round_up(_round_up(A.nrows, BRl) // BRl, GPS)
-        r, c, v = A.to_coo()
-        gr = r // BRl         # row group of each nnz
-        cb = c // BC          # column block of each nnz
-
-        # Unique (group, col-block) pairs, slot index within group.
-        keys = gr * (1 << 32) + cb
-        order = np.argsort(keys, kind="stable")
-        keys_s = keys[order]
-        uniq_mask = np.empty(keys_s.size, dtype=bool)
-        uniq_mask[0] = True
-        uniq_mask[1:] = keys_s[1:] != keys_s[:-1]
-        pair_id = np.cumsum(uniq_mask) - 1          # per sorted-nnz pair index
-        uniq_keys = keys_s[uniq_mask]
-        ugr = (uniq_keys >> 32).astype(np.int64)
-        ucb = (uniq_keys & 0xFFFFFFFF).astype(np.int64)
-
-        # Slot index of each unique pair within its group.
-        counts = np.bincount(ugr, minlength=n_groups)
-        S = max(int(counts.max()), 1)
-        group_start = np.zeros(n_groups + 1, dtype=np.int64)
-        np.cumsum(counts, out=group_start[1:])
-        slot_of_pair = np.arange(ugr.size) - group_start[ugr]
-
-        blocks = np.zeros((n_groups, S * BRl, BC), dtype=np.float64)
-        block_cols = np.zeros((n_groups, S), dtype=np.int32)
-        block_cols[ugr, slot_of_pair] = ucb
-
-        # Scatter nnz into their block slots.
-        pr = pair_id                      # aligned with sorted order
-        rs, cs, vs = r[order], c[order], v[order]
-        blocks[ugr[pr], slot_of_pair[pr] * BRl + (rs % BRl), cs % BC] = vs
-
-        # One-hot gather selector: row t selects x_table[block_cols_flat[t]].
-        # 0/1 values, so f32 is exact; DMA cost is S/(BRl·C) of the blocks
-        # (~5% at reference scale).
-        C = _round_up(A.ncols, BC) // BC
-        flat_cols = block_cols.reshape(-1)
-        sel = np.zeros((flat_cols.size, max(C, 1)), dtype=np.float32)
-        sel[np.arange(flat_cols.size), flat_cols] = 1.0
-
+        blocks, block_cols, sel = _bsr_host_layout(A, block_rows)
         return BsrMatrix(
             blocks=jnp.asarray(blocks, dtype=dtype),
             block_cols=jnp.asarray(block_cols),
-            nrows=A.nrows, ncols=A.ncols, nnz=A.nnz, br=BRl,
+            nrows=A.nrows, ncols=A.ncols, nnz=A.nnz, br=block_rows,
             sel=jnp.asarray(sel))
+
 
     def matvec(self, x: jax.Array) -> jax.Array:
         from lsbench_tpu.ops.spmv_pallas import spmv_bsr
@@ -173,6 +131,60 @@ class BsrMatrix:
         return y.reshape(-1)[: self.nrows]
 
 
+def _bsr_host_layout(A: CsrMatrix, block_rows: int = BR):
+    """Host-side (numpy) BSR assembly: (blocks f64, block_cols i32, sel f32).
+
+    Kept device-free so callers needing a transformed upload (e.g. the
+    double-float hi/lo split) never round-trip a 10s-of-MB emulated-f64
+    array through the remote-TPU tunnel — measured MINUTES per direction
+    at reference scale."""
+    # Pad groups to a multiple of GPS so the kernel's (GPS*br)-row
+    # output tiles are full; padding groups are all-zero, block_col 0.
+    BRl = block_rows
+    n_groups = _round_up(_round_up(A.nrows, BRl) // BRl, GPS)
+    r, c, v = A.to_coo()
+    gr = r // BRl         # row group of each nnz
+    cb = c // BC          # column block of each nnz
+
+    # Unique (group, col-block) pairs, slot index within group.
+    keys = gr * (1 << 32) + cb
+    order = np.argsort(keys, kind="stable")
+    keys_s = keys[order]
+    uniq_mask = np.empty(keys_s.size, dtype=bool)
+    uniq_mask[0] = True
+    uniq_mask[1:] = keys_s[1:] != keys_s[:-1]
+    pair_id = np.cumsum(uniq_mask) - 1          # per sorted-nnz pair index
+    uniq_keys = keys_s[uniq_mask]
+    ugr = (uniq_keys >> 32).astype(np.int64)
+    ucb = (uniq_keys & 0xFFFFFFFF).astype(np.int64)
+
+    # Slot index of each unique pair within its group.
+    counts = np.bincount(ugr, minlength=n_groups)
+    S = max(int(counts.max()), 1)
+    group_start = np.zeros(n_groups + 1, dtype=np.int64)
+    np.cumsum(counts, out=group_start[1:])
+    slot_of_pair = np.arange(ugr.size) - group_start[ugr]
+
+    blocks = np.zeros((n_groups, S * BRl, BC), dtype=np.float64)
+    block_cols = np.zeros((n_groups, S), dtype=np.int32)
+    block_cols[ugr, slot_of_pair] = ucb
+
+    # Scatter nnz into their block slots.
+    pr = pair_id                      # aligned with sorted order
+    rs, cs, vs = r[order], c[order], v[order]
+    blocks[ugr[pr], slot_of_pair[pr] * BRl + (rs % BRl), cs % BC] = vs
+
+    # One-hot gather selector: row t selects x_table[block_cols_flat[t]].
+    # 0/1 values, so f32 is exact; DMA cost is S/(BRl·C) of the blocks
+    # (~5% at reference scale).
+    C = _round_up(A.ncols, BC) // BC
+    flat_cols = block_cols.reshape(-1)
+    sel = np.zeros((flat_cols.size, max(C, 1)), dtype=np.float32)
+    sel[np.arange(flat_cols.size), flat_cols] = 1.0
+
+    return blocks, block_cols, sel
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class BsrDf64:
@@ -211,12 +223,15 @@ class BsrDf64:
 
     @staticmethod
     def from_csr(A: CsrMatrix, block_rows: int = BR) -> "BsrDf64":
-        base = BsrMatrix.from_csr(A, dtype=jnp.float64, block_rows=block_rows)
-        b64 = np.asarray(base.blocks)
+        # hi/lo split entirely on HOST (numpy f64), then two f32 uploads.
+        # Routing through a device f64 BsrMatrix round-trips the blocks as
+        # emulated f64 over the remote-TPU tunnel — measured minutes at
+        # reference scale vs <1 s this way.
+        b64, block_cols, _sel = _bsr_host_layout(A, block_rows)
         hi = b64.astype(np.float32)
         lo = (b64 - hi.astype(np.float64)).astype(np.float32)
         return BsrDf64(blocks_hi=jnp.asarray(hi), blocks_lo=jnp.asarray(lo),
-                       block_cols=base.block_cols, nrows=A.nrows,
+                       block_cols=jnp.asarray(block_cols), nrows=A.nrows,
                        ncols=A.ncols, nnz=A.nnz, br=block_rows)
 
     def matvec(self, x: jax.Array) -> jax.Array:

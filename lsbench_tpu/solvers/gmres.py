@@ -94,6 +94,25 @@ class GmresSolver(Solver):
         self.restart = int(restart)
         maxiter = int(maxiter) if maxiter is not None else max(10 * A.nrows, 1000)
         self.max_restarts = max(1, -(-maxiter // self.restart))
+
+        self._delegate = None
+        if (jax.default_backend() == "tpu"
+                and self.dtype == jnp.dtype(jnp.float64)):
+            # Emulated-f64 Arnoldi on TPU is orders of magnitude off f32
+            # speed (every V/H op pays the f64 emulation tax). Delegate to
+            # f32 restarted GMRES + double-float residual refinement
+            # (refine.py) — same move as the cholesky path.
+            import sys
+            print("gmres: fp64 on TPU executes as f32 Arnoldi + double-"
+                  "float iterative refinement (mode fp32_ir_auto).",
+                  file=sys.stderr)
+            from lsbench_tpu.solvers.refine import GmresIrSolver
+            self._delegate = GmresIrSolver(
+                A, rtol=self.rtol, maxiter=maxiter, restart=self.restart,
+                precond=precond, layout=layout, ordering=ordering, **params)
+            self.setup_breakdown = self._delegate.setup_breakdown
+            return
+
         self.layout = resolve_layout(layout, self.dtype)
 
         from lsbench_tpu.ordering import get_ordering
@@ -127,6 +146,10 @@ class GmresSolver(Solver):
         self._jit_solve = _solve
 
     def solve(self, b) -> SolveResult:
+        if self._delegate is not None:
+            res = self._delegate.solve(b)
+            res.extra["precision_mode"] = "fp32_ir_auto"
+            return res
         x, iters, rnorm, bnorm = self._jit_solve(self._op, self._pstate,
                                                  jnp.asarray(b))
         rnorm, bnorm = float(rnorm), float(bnorm)
@@ -135,5 +158,17 @@ class GmresSolver(Solver):
                            converged=relres <= self.rtol or bnorm == 0.0)
 
     def solve_fn(self):
+        if self._delegate is not None:
+            return self._delegate.solve_fn()
         op, pstate, jit_solve = self._op, self._pstate, self._jit_solve
         return lambda b: jit_solve(op, pstate, b)[0]
+
+    def solve_fn_args(self):
+        if self._delegate is not None:
+            return self._delegate.solve_fn_args()
+        return super().solve_fn_args()
+
+    def matvec_op(self):
+        if self._delegate is not None:
+            return self._delegate.matvec_op()
+        return super().matvec_op()

@@ -158,3 +158,19 @@ def test_df64_primitives_exact():
     np.testing.assert_array_equal(np.asarray(p, np.float64) + np.asarray(e, np.float64), exact)
     h, l = jax.jit(_split_f32)(a)
     np.testing.assert_array_equal(np.asarray(h, np.float64) + np.asarray(l, np.float64), np.asarray(a, np.float64))
+
+
+def test_bsr_df64_hi_lo_split_exact():
+    # hi + lo must reconstruct the f64 values exactly (the split is
+    # computed on HOST — routing through a device f64 array round-trips
+    # tens of MB of emulated f64 over the remote-TPU tunnel).
+    from lsbench_tpu.matrix.bsr import BsrDf64, _bsr_host_layout
+    from lsbench_tpu.matrix.generate import random_spd
+    A = random_spd(200, nnz_per_row=13, seed=9)
+    B = BsrDf64.from_csr(A)
+    assert B.blocks_hi.dtype == jnp.float32 and B.blocks_lo.dtype == jnp.float32
+    b64, bcols, _ = _bsr_host_layout(A)
+    rec = np.asarray(B.blocks_hi, np.float64) + np.asarray(B.blocks_lo, np.float64)
+    scale = np.abs(b64).max()
+    assert np.abs(rec - b64).max() <= scale * 2.0 ** -47  # two-round split
+    np.testing.assert_array_equal(np.asarray(B.block_cols), bcols)

@@ -65,3 +65,30 @@ def test_cli_scale_module(tiny_matrix_file, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "efficiency" in out and "1x1" in out
+
+
+def test_cli_fp32_ir_gmres_and_ginkgo(tiny_matrix_file, capsys):
+    # fp32_ir now covers the gmres and bicgstab families; the ginkgo alias
+    # keeps its 1e-4 protocol params (ginkgo.cpp:59-62) through the remap.
+    rc = main(["--matrix", str(tiny_matrix_file), "--solver", "gmres",
+               "--precision", "fp32_ir", "--trials", "1", "--json"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    rec = json.loads(out[2])
+    assert rec["solver"] == "gmres_ir"
+    assert rec["converged"] is True
+
+    rc = main(["--matrix", str(tiny_matrix_file), "--solver", "ginkgo",
+               "--precision", "fp32_ir", "--trials", "1", "--json"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    rec = json.loads(out[2])
+    assert rec["solver"] == "ginkgo"  # reported under the reference name
+    assert rec["converged"] is True
+
+
+def test_cli_fp32_ir_rejects_amg(tiny_matrix_file, capsys):
+    rc = main(["--matrix", str(tiny_matrix_file), "--solver", "hypre",
+               "--precision", "fp32_ir", "--trials", "1"])
+    assert rc == 1
+    assert "fp32_ir" in capsys.readouterr().err

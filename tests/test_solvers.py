@@ -126,3 +126,68 @@ def test_cli_opt_bad_value(tiny_matrix_file, capsys):
     rc = main(["--matrix", str(tiny_matrix_file), "--opt", "nonsense",
                "--platform", "cpu"])
     assert rc == 1
+
+
+def test_gmres_ir_reaches_fp64_accuracy():
+    # f32 Arnoldi + f64 residual refinement (refine.py::GmresIrSolver) —
+    # the mode the plain gmres solver delegates to at fp64 on TPU.
+    A = poisson_2d(12)
+    b = make_rhs(A.nrows)
+    s = make("gmres_ir", A, rtol=1e-11, restart=40)
+    res = s.solve(b)
+    assert res.converged
+    assert res.relres <= 1e-11
+    assert res.extra["refine_passes"] >= 2  # f32 alone cannot reach 1e-11
+    rr = s.residual_norm(res.x, b) / np.linalg.norm(b)
+    assert rr < 1e-10
+
+
+def test_gmres_ir_nonsymmetric():
+    rng = np.random.default_rng(3)
+    n = 120
+    m = np.diag(10.0 + rng.random(n))
+    m += np.triu(rng.random((n, n)) * 0.5, 1) - np.tril(rng.random((n, n)) * 0.3, -1)
+    m[np.abs(m) < 0.45] = 0.0
+    np.fill_diagonal(m, 10.0 + rng.random(n))
+    A = CsrMatrix.from_dense(m)
+    b = make_rhs(n)
+    res = make("gmres_ir", A, rtol=1e-10, maxiter=2000).solve(b)
+    assert res.converged
+    np.testing.assert_allclose(np.asarray(res.x), np.linalg.solve(m, b),
+                               rtol=1e-6)
+
+
+def test_bicgstab_ir_reaches_fp64_accuracy():
+    A = poisson_2d(12)
+    b = make_rhs(A.nrows)
+    s = make("bicgstab_ir", A, rtol=1e-11)
+    res = s.solve(b)
+    assert res.converged
+    assert res.relres <= 1e-11
+    rr = s.residual_norm(res.x, b) / np.linalg.norm(b)
+    assert rr < 1e-10
+
+
+def test_bicgstab_ir_nonsymmetric():
+    rng = np.random.default_rng(7)
+    n = 120
+    m = np.diag(10.0 + rng.random(n))
+    m += np.triu(rng.random((n, n)) * 0.5, 1) - np.tril(rng.random((n, n)) * 0.3, -1)
+    m[np.abs(m) < 0.45] = 0.0
+    np.fill_diagonal(m, 10.0 + rng.random(n))
+    A = CsrMatrix.from_dense(m)
+    b = make_rhs(n)
+    res = make("bicgstab_ir", A, rtol=1e-10, maxiter=2000).solve(b)
+    assert res.converged
+    np.testing.assert_allclose(np.asarray(res.x), np.linalg.solve(m, b),
+                               rtol=1e-6)
+
+
+def test_ir_solve_fn_returns_x_only():
+    # Contract (base.py): solve_fn() returns ONLY the solution array.
+    A = poisson_2d(8)
+    b = make_rhs(A.nrows)
+    for name in ("cg_ir", "gmres_ir", "bicgstab_ir"):
+        fn = make(name, A, rtol=1e-10).solve_fn()
+        x = fn(jnp.asarray(b, jnp.float64))
+        assert hasattr(x, "astype") and x.shape == (A.nrows,)
