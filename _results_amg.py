@@ -11,6 +11,7 @@ CONFIGS = [
     ("r2 hypre preset", dict(coarsening="classical", theta=0.5, interp="jacobi", degree=3, pre_sweeps=2, post_sweeps=2)),
     ("l1-Jacobi smoother", dict(coarsening="classical", theta=0.5, interp="jacobi", smoother="l1_jacobi", degree=3, pre_sweeps=2, post_sweeps=2)),
     ("pairwise K-cycle (paralmond)", dict(coarsening="sa_pairwise", cycle="k", degree=3, pre_sweeps=2, post_sweeps=2)),
+    ("l1-hybrid-SGS (hypre relax 8)", dict(coarsening="classical", theta=0.5, interp="jacobi", smoother="l1_gs", degree=2, pre_sweeps=2, post_sweeps=2)),
 ]
 print("| matrix | " + " | ".join(n for n,_ in CONFIGS) + " |")
 print("|---" * (len(CONFIGS)+1) + "|")

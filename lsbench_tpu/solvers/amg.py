@@ -233,9 +233,12 @@ class AmgOptions:
     #                              the ext+i distance-2 role, hypre.c:128)
     smoother: str = "chebyshev"  # "chebyshev" (hypre cheby order, hypre.c:137),
     #                              "jacobi" (weight auto-scaled by ρ(D⁻¹A)),
-    #                              or "l1_jacobi" (ℓ1-scaled, convergent
-    #                              undamped — hypre relax 8 family,
-    #                              hypre.c:137)
+    #                              "l1_jacobi" (ℓ1-scaled, convergent
+    #                              undamped), or "l1_gs" (hybrid ℓ1-
+    #                              symmetric-GS: exact SGS within 128-row
+    #                              tiles via batched MXU triangular
+    #                              solves, ℓ1-Jacobi across — the actual
+    #                              hypre relax type 8, hypre.c:137)
     degree: int = 2              # Chebyshev degree / Jacobi sweeps
     jacobi_scale: float = 4.0 / 3.0  # ω = scale / ρ(D⁻¹A)
     cheby_lower: float = 0.30    # λmin = lower·ρ (hypre cheby fraction style)
@@ -367,6 +370,41 @@ def build_matrix_hierarchy(A: CsrMatrix, opts: AmgOptions):
     return mats, Al
 
 
+def l1_gs_blocks(M: CsrMatrix, block: int = 128):
+    """Host build of the hybrid ℓ1-GS per-block factors.
+
+    Hypre's relax type 8 (hypre.c:137) is ℓ1-scaled hybrid symmetric
+    Gauss-Seidel (Baker, Falgout, Kolev & Yang 2011): exact GS inside a
+    process, Jacobi across, with the off-process couplings folded into an
+    ℓ1 diagonal d_i = a_ii + Σ_{j∉block}|a_ij| so the sweep stays
+    convergent without damping. The TPU-native "process" unit is a
+    128-row tile: within-tile sweeps become ONE batched (nb,128,128)
+    triangular solve on the MXU — no sequential dependence across tiles.
+
+    Returns (Lblk, d_l1): Lblk[k] = strictly-lower within-block part of A
+    plus diag(d_l1) (padding rows get unit diagonal), d_l1 of length n.
+    The symmetric sweep uses Lblkᵀ for the up-sweep, which equals the
+    within-block upper part for symmetric A (the AMG workload is SPD).
+    """
+    n = M.nrows
+    nb = -(-n // block)
+    r, c, v = M.to_coo()
+    rb, cb = r // block, c // block
+    d = M.diagonal()
+    d_l1 = d.copy()
+    off_block = rb != cb
+    np.add.at(d_l1, r[off_block], np.abs(v[off_block]))
+    d_l1 = np.where(d_l1 != 0, d_l1, 1.0)
+    Lblk = np.zeros((nb, block, block))
+    wl = (~off_block) & (c < r)           # within-block strict lower
+    Lblk[rb[wl], r[wl] % block, c[wl] % block] = v[wl]
+    rows = np.arange(nb * block)
+    diag = np.ones(nb * block)
+    diag[:n] = d_l1
+    Lblk[rows // block, rows % block, rows % block] = diag
+    return Lblk, d_l1
+
+
 def coarse_cholesky(Al: CsrMatrix, dtype) -> jax.Array:
     """Dense factor of the coarsest operator (symmetrized)."""
     dense = Al.to_dense()
@@ -417,10 +455,18 @@ def build_hierarchy(A: CsrMatrix, opts: AmgOptions, dtype, layout: str):
         a_ap, a_op, _ = build_matvec(m["A"], dtype, per_level(m["A"]))
         p_ap, p_op, _ = build_matvec(m["P"], dtype, per_level(m["P"]))
         r_ap, r_op, _ = build_matvec(m["R"], dtype, per_level(m["R"]))
-        level_params.append(dict(
+        lp = dict(
             a=a_op, p=p_op, r=r_op,
             inv_diag=jnp.asarray(m["dinv"], dtype=dtype),
-            inv_l1=jnp.asarray(m["dinv_l1"], dtype=dtype)))
+            inv_l1=jnp.asarray(m["dinv_l1"], dtype=dtype))
+        if opts.smoother == "l1_gs":
+            Lblk, d_l1 = l1_gs_blocks(m["A"])
+            pad = Lblk.shape[0] * Lblk.shape[1]
+            dpad = np.ones(pad)
+            dpad[: d_l1.size] = d_l1
+            lp["gs_l"] = jnp.asarray(Lblk, dtype=dtype)
+            lp["gs_d"] = jnp.asarray(dpad, dtype=dtype)
+        level_params.append(lp)
         level_aps.append(dict(a=a_ap, p=p_ap, r=r_ap, rho=m["rho"],
                               n_fine=m["A"].nrows, n_coarse=m["P"].ncols))
     return level_params, level_aps, coarse_cholesky(Al, dtype)
@@ -473,9 +519,31 @@ def make_vcycle(level_aps, opts: AmgOptions, dtype) -> Callable:
             x = x + L["inv_l1"] * (b - ap["a"](L["a"], x))
         return x
 
+    def l1_gs_smooth(ap, L, b, x):
+        """Hybrid ℓ1-symmetric-GS (hypre relax 8, hypre.c:137): exact
+        symmetric Gauss-Seidel within each 128-row tile, ℓ1-compensated
+        Jacobi across tiles. One sweep = one SpMV + two batched MXU
+        triangular solves:  x += (D+U)⁻¹ D (L+D)⁻¹ (b − Ax)  blockwise,
+        with D the ℓ1 diagonal (see l1_gs_blocks)."""
+        blk = L["gs_l"]                       # (nb, B, B) lower, ℓ1 diag
+        dpad = L["gs_d"]                      # (nb*B,) ℓ1 diag, 1-padded
+        nb, Bb, _ = blk.shape
+        n = ap["n_fine"]
+        for _ in range(opts.degree):
+            r = b - ap["a"](L["a"], x)
+            rp = jnp.zeros(nb * Bb, dtype).at[:n].set(r).reshape(nb, Bb, 1)
+            z1 = jax.lax.linalg.triangular_solve(
+                blk, rp, left_side=True, lower=True)
+            w = dpad.reshape(nb, Bb, 1) * z1
+            z = jax.lax.linalg.triangular_solve(
+                blk, w, left_side=True, lower=True, transpose_a=True)
+            x = x + z.reshape(-1)[:n]
+        return x
+
     smooth = {"chebyshev": chebyshev_smooth,
               "jacobi": jacobi_smooth,
-              "l1_jacobi": l1_jacobi_smooth}[opts.smoother]
+              "l1_jacobi": l1_jacobi_smooth,
+              "l1_gs": l1_gs_smooth}[opts.smoother]
     nlev = len(level_aps)
 
     def coarse_correct(levels, coarse_L, lvl: int, rc):
@@ -560,10 +628,26 @@ class AmgSolver(Solver):
                           post_sweeps=post_sweeps, coarse_n=coarse_n,
                           max_levels=max_levels)
         self.opts = opts
+        perm_dev = inv_dev = None
+        Ah = A
+        if smoother == "l1_gs":
+            # Hybrid ℓ1-GS sweeps exactly within 128-row tiles; like
+            # hypre's process-local GS it only bites when a tile holds a
+            # graph NEIGHBORHOOD. RCM-band the operator internally (and
+            # keep coarse levels banded) so tiles capture couplings; the
+            # permutation is undone on the returned x.
+            from lsbench_tpu.ordering.rcm import rcm_ordering
+            perm = rcm_ordering(A)
+            if not np.array_equal(perm, np.arange(A.nrows)):
+                Ah = A.permuted(perm)
+                inv = np.empty_like(perm)
+                inv[perm] = np.arange(A.nrows)
+                perm_dev, inv_dev = jnp.asarray(perm), jnp.asarray(inv)
+            opts.reorder_coarse = True
         import time as _time
         _t0 = _time.perf_counter()
         level_params, level_aps, coarse_L = build_hierarchy(
-            A, opts, self.dtype, self.layout)
+            Ah, opts, self.dtype, self.layout)
         self.setup_breakdown["hierarchy_s"] = _time.perf_counter() - _t0
         self.n_levels = len(level_aps) + 1
         vcycle = make_vcycle(level_aps, opts, self.dtype)
@@ -571,7 +655,7 @@ class AmgSolver(Solver):
         if level_aps:
             fine_mv = lambda lv, x: level_aps[0]["a"](lv[0]["a"], x)
         else:
-            f_ap, f_op, _ = build_matvec(A, self.dtype, self.layout)
+            f_ap, f_op, _ = build_matvec(Ah, self.dtype, self.layout)
             level_params = [dict(a=f_op)]
             fine_mv = lambda lv, x: f_ap(lv[0]["a"], x)
         dt = self.dtype
@@ -583,10 +667,14 @@ class AmgSolver(Solver):
             @jax.jit
             def _solve(lv, cL, b):
                 b = b.astype(dt)
+                if perm_dev is not None:
+                    b = b[perm_dev]
                 x = jnp.zeros_like(b)
                 for _ in range(k):
                     x = vcycle(lv, cL, b, x)
                 r = b - fine_mv(lv, x)
+                if inv_dev is not None:
+                    x = x[inv_dev]
                 return x, jnp.sqrt(jnp.vdot(r, r)), jnp.sqrt(jnp.vdot(b, b))
         else:
             rtol_c, maxiter_c = self.rtol, self.maxiter
@@ -594,6 +682,8 @@ class AmgSolver(Solver):
             @jax.jit
             def _solve(lv, cL, b):
                 b = b.astype(dt)
+                if perm_dev is not None:
+                    b = b[perm_dev]
                 bb = jnp.vdot(b, b)
                 tol2 = (rtol_c ** 2) * bb
 
@@ -610,6 +700,8 @@ class AmgSolver(Solver):
                 x0 = jnp.zeros_like(b)
                 x, rr, it = jax.lax.while_loop(
                     cond, body, (x0, bb, jnp.int32(0)))
+                if inv_dev is not None:
+                    x = x[inv_dev]
                 return x, jnp.sqrt(rr), jnp.sqrt(bb), it
 
         self._jit_solve = _solve
@@ -646,11 +738,29 @@ def amg_precond(A: CsrMatrix, dtype, **amg_params):
     argument), not in captured constants."""
     layout = resolve_layout(amg_params.pop("layout", "auto"), dtype)
     opts = AmgOptions(**amg_params)
+    perm_dev = inv_dev = None
+    if opts.smoother == "l1_gs":
+        # Same internal RCM banding as AmgSolver (tiles must capture
+        # neighborhoods); applied as Pᵀ M⁻¹ P so the preconditioner stays
+        # SPD for CG.
+        from lsbench_tpu.ordering.rcm import rcm_ordering
+        perm = rcm_ordering(A)
+        if not np.array_equal(perm, np.arange(A.nrows)):
+            A = A.permuted(perm)
+            inv = np.empty_like(perm)
+            inv[perm] = np.arange(A.nrows)
+            perm_dev, inv_dev = jnp.asarray(perm), jnp.asarray(inv)
+        opts.reorder_coarse = True
     level_params, level_aps, coarse_L = build_hierarchy(A, opts, dtype, layout)
     vcycle = make_vcycle(level_aps, opts, dtype)
 
     def apply(state, r):
         lv, cL = state
-        return vcycle(lv, cL, r, jnp.zeros_like(r))
+        if perm_dev is not None:
+            r = r[perm_dev]
+        z = vcycle(lv, cL, r, jnp.zeros_like(r))
+        if inv_dev is not None:
+            z = z[inv_dev]
+        return z
 
     return (level_params, coarse_L), apply
