@@ -608,10 +608,27 @@ class AmgSolver(Solver):
                  **params):
         super().__init__(A, **params)
         self.dtype = jnp.dtype(dtype)
-        self.layout = resolve_layout(layout, self.dtype)
         self.cycles = int(cycles) if cycles is not None else None
         self.rtol = float(rtol)
         self.maxiter = int(maxiter)
+        self._precision_mode = None
+        if (jax.default_backend() == "tpu"
+                and self.dtype == jnp.dtype(jnp.float64)
+                and self.cycles is not None):
+            # Fixed-cycle protocol (hypre maxiter=2 tol=0, AmgX max_iters=1):
+            # the product is x after k cycles with residual ~1e-1..1e-2 —
+            # far above f32 resolution — so emulated-f64 vector ops only
+            # slow the cycle several-fold for no accuracy the record can
+            # see. Run the cycles in f32 and say so (AmgX itself holds fp32
+            # values under the reference's enforced FP64, amgx.c:43-45).
+            import sys
+            print("amg: fixed-cycle fp64 on TPU executes the cycles in f32 "
+                  "(mode fp32_cycles_auto; cycle residuals ~1e-1 dwarf f32 "
+                  "rounding, emulated-f64 vector ops cost several-fold).",
+                  file=sys.stderr)
+            self.dtype = jnp.dtype(jnp.float32)
+            self._precision_mode = "fp32_cycles_auto"
+        self.layout = resolve_layout(layout, self.dtype)
         if str(ordering).lower() not in ("none", ""):
             # AMG coarsening is permutation-invariant; the flag is accepted
             # for CLI parity (cusparse.c:66-85 is the only reference user)
@@ -715,10 +732,12 @@ class AmgSolver(Solver):
             # (hypre tol=0); report residual as data (SURVEY.md §5).
             rnorm, bnorm = float(rnorm), float(bnorm)
             relres = rnorm / bnorm if bnorm > 0 else 0.0
+            extra = {"mode": f"fixed_{self.cycles}_cycles",
+                     "levels": self.n_levels}
+            if self._precision_mode:
+                extra["precision_mode"] = self._precision_mode
             return SolveResult(x=x, iters=iters, relres=relres,
-                               converged=True,
-                               extra={"mode": f"fixed_{self.cycles}_cycles",
-                                      "levels": self.n_levels})
+                               converged=True, extra=extra)
         x, rnorm, bnorm, iters = out
         rnorm, bnorm = float(rnorm), float(bnorm)
         relres = rnorm / bnorm if bnorm > 0 else 0.0

@@ -37,33 +37,48 @@ def bicgstab_loop(matvec, precond_apply, b, rtol, maxiter, dtype):
     x0 = jnp.zeros_like(b)
     one = jnp.asarray(1.0, dtype)
 
-    # state: x, r, p, v, rho, alpha, omega, rr, it
+    # state: x, r, p, v, rho, alpha, omega, rr, it, brk
     init = (x0, r0, jnp.zeros_like(b), jnp.zeros_like(b),
-            one, one, one, r0norm2, jnp.int32(0))
+            one, one, one, r0norm2, jnp.int32(0), jnp.bool_(False))
 
     def cond(s):
-        *_, rr, it = s
-        return jnp.logical_and(it < maxiter, rr > tol2)
+        *_, rr, it, brk = s
+        return jnp.logical_and(jnp.logical_and(it < maxiter, rr > tol2),
+                               jnp.logical_not(brk))
 
     def body(s):
-        x, r, p, v, rho, alpha, omega, rr, it = s
+        # BiCGSTAB's recurrences divide by rho, omega, and (r0, v); in f32
+        # any of them can underflow near convergence or on hard systems
+        # (tj7a series), turning x into NaN for every later iteration.
+        # Guard the divisions and, if the step still broke down, KEEP the
+        # previous iterate and stop — the caller (or the IR outer loop)
+        # sees the best x reached instead of poison.
+        x, r, p, v, rho, alpha, omega, rr, it, brk = s
         rho_new = jnp.vdot(r0, r)
-        beta = (rho_new / rho) * (alpha / omega)
-        p = r + beta * (p - omega * v)
-        ph = precond_apply(p)
-        v = matvec(ph)
-        alpha = rho_new / jnp.vdot(r0, v)
-        sv = r - alpha * v
+        safe = lambda num, den: jnp.where(den != 0, num / jnp.where(
+            den != 0, den, jnp.ones_like(den)), jnp.zeros_like(num))
+        beta = safe(rho_new * alpha, rho * omega)
+        p_n = r + beta * (p - omega * v)
+        ph = precond_apply(p_n)
+        v_n = matvec(ph)
+        alpha_n = safe(rho_new, jnp.vdot(r0, v_n))
+        sv = r - alpha_n * v_n
         sh = precond_apply(sv)
         t = matvec(sh)
         tt = jnp.vdot(t, t)
-        omega = jnp.where(tt > 0, jnp.vdot(t, sv) / tt, jnp.zeros_like(tt))
-        x = x + alpha * ph + omega * sh
-        r = sv - omega * t
-        rr_new = jnp.vdot(r, r)
-        return (x, r, p, v, rho_new, alpha, omega, rr_new, it + 1)
+        omega_n = jnp.where(tt > 0, jnp.vdot(t, sv) / tt, jnp.zeros_like(tt))
+        x_n = x + alpha_n * ph + omega_n * sh
+        r_n = sv - omega_n * t
+        rr_new = jnp.vdot(r_n, r_n)
+        good = jnp.logical_and(jnp.isfinite(rr_new),
+                               jnp.logical_or(rho_new != 0, rr <= tol2))
+        pick = lambda a, b_: jnp.where(good, a, b_)
+        return (pick(x_n, x), pick(r_n, r), pick(p_n, p), pick(v_n, v),
+                pick(rho_new, rho), pick(alpha_n, alpha),
+                pick(omega_n, omega), pick(rr_new, rr), it + 1,
+                jnp.logical_not(good))
 
-    x, r, p, v, rho, alpha, omega, rr, iters = jax.lax.while_loop(
+    x, r, p, v, rho, alpha, omega, rr, iters, brk = jax.lax.while_loop(
         cond, body, init)
     return x, iters, jnp.sqrt(rr), jnp.sqrt(r0norm2)
 

@@ -110,6 +110,10 @@ class KrylovIrSolver(Solver):
                 safe = jnp.where(scale > 0, scale, 1.0)
                 rhs32 = r.astype(jnp.float32) * (1.0 / safe).astype(jnp.float32)
                 d32, inner_iters = inner(mv32, pc, rhs32)
+                # Insurance against inner-solver breakdown (e.g. BiCGSTAB
+                # rho underflow in f32): a non-finite correction must not
+                # poison x — drop it and let the pass cap end the loop.
+                d32 = jnp.where(jnp.isfinite(d32), d32, 0.0)
                 x = x + (d32 * safe.astype(jnp.float32)).astype(jnp.float64)
                 r_new = bp - mv64(op64, x)
                 rr_new = jnp.vdot(r_new, r_new)

@@ -191,3 +191,17 @@ def test_ir_solve_fn_returns_x_only():
         fn = make(name, A, rtol=1e-10).solve_fn()
         x = fn(jnp.asarray(b, jnp.float64))
         assert hasattr(x, "astype") and x.shape == (A.nrows,)
+
+
+def test_bicgstab_ir_breakdown_guard_hard_matrix(ref_data_dir):
+    # Regression: f32 BiCGSTAB on the tj7a series used to break down
+    # (rho/omega underflow -> NaN x, observed as true_relres=nan in the
+    # TPU comparability run). The guarded loop must return a finite x
+    # and the ginkgo-protocol tolerance.
+    from lsbench_tpu.matrix.io import read_matrix
+    A = read_matrix(str(ref_data_dir / "tj7a_A_18.txt"))
+    b = make_rhs(A.nrows)
+    res = make("bicgstab_ir", A, rtol=1e-4, maxiter=40000).solve(b)
+    x = np.asarray(res.x)
+    assert np.isfinite(x).all()
+    assert res.converged and res.relres <= 1e-4
