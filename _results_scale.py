@@ -20,22 +20,25 @@ import time
 import numpy as np
 
 
-def slope_time(fn, x0, c1, c2, reps=3):
+def slope_time(fn, x0, c1, c2, reps=3, args=()):
     """Median wall-seconds per step via two chain lengths (removes the
-    ~30 ms remote-tunnel dispatch latency — bench.py's method)."""
+    ~30 ms remote-tunnel dispatch latency — bench.py's method). Operands
+    ride as jit ARGUMENTS via `args` — closing over a large operand bakes
+    it into the jaxpr as a constant and the remote-compile request body
+    blows the tunnel's size limit (HTTP 413)."""
     import jax
 
     def chain_wall(chain):
-        def chained(v):
+        def chained(a, v):
             def body(_, u):
-                return fn(u)
+                return fn(a, u)
             return jax.lax.fori_loop(0, chain, body, v)
         ch = jax.jit(chained)
-        jax.block_until_ready(ch(x0))
+        jax.block_until_ready(ch(args, x0))
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            jax.block_until_ready(ch(x0))
+            jax.block_until_ready(ch(args, x0))
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts))
 
@@ -62,7 +65,8 @@ def main():
     op = BsrMatrix.from_csr(Ap, dtype=jnp.float32)
     setup_s = time.perf_counter() - t0
     x = jnp.asarray(np.random.default_rng(0).random(A.ncols), jnp.float32)
-    t = slope_time(lambda v: spmv_bsr(op, v).astype(jnp.float32), x, 50, 250)
+    t = slope_time(lambda a, v: spmv_bsr(a, v).astype(jnp.float32),
+                   x, 50, 250, args=op)
     out["spmv_poisson_512"] = {
         "n": A.nrows, "nnz": A.nnz, "spmv_us": t * 1e6,
         "gnnz_per_s": A.nnz / t / 1e9,

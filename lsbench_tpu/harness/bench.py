@@ -122,9 +122,13 @@ def run_bench(
 
 def _relative_residual(A: CsrMatrix, x, b) -> float:
     """Host-side ||b - Ax|| / ||b|| in fp64 — the oracle the reference
-    disabled (cholmod-impl.h:47-53)."""
+    disabled (cholmod-impl.h:47-53). For multi-RHS (2-D) solves this is
+    the WORST column's relative residual."""
     xh = np.asarray(x, dtype=np.float64)
     bh = np.asarray(b, dtype=np.float64)
+    if xh.ndim == 2:
+        return max(_relative_residual(A, xh[:, j], bh[:, j])
+                   for j in range(xh.shape[1]))
     bn = float(np.linalg.norm(bh))
     if bn == 0.0:
         return 0.0

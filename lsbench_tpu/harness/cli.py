@@ -75,6 +75,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--precond", default=None,
                    help="override preconditioner "
                         "(none|jacobi|block_jacobi|amg|amg_classical)")
+    p.add_argument("--nrhs", type=int, default=1,
+                   help="solve this many right-hand sides at once "
+                        "(cg family routes to block_cg; column 0 is the "
+                        "reference RHS r[i]=i, extras are seeded random)")
     p.add_argument("--json", action="store_true", help="emit a JSON record after the CSV line")
     p.add_argument("--platform", default=None,
                    help="force a jax platform (cpu | tpu | ...); default: environment")
@@ -193,6 +197,20 @@ def main(argv=None) -> int:
 
     # RHS r[i] = i (lsbench.c:158-160).
     b = np.arange(A.nrows, dtype=np.float64)
+    if args.nrhs > 1:
+        # Multi-RHS extension (no reference analog — lsbench is
+        # single-RHS): column 0 keeps the reference convention, extra
+        # columns are deterministic pseudo-random.
+        rng = np.random.default_rng(0)
+        b = np.column_stack(
+            [b] + [rng.standard_normal(A.nrows)
+                   for _ in range(args.nrhs - 1)])
+        if solver_name in ("cg", "cg_ir"):
+            solver_name = "block_cg"
+        elif solver_name != "block_cg":
+            print(f"--nrhs > 1 is only implemented for the cg family "
+                  f"(block_cg); got '{solver_name}'.", file=sys.stderr)
+            return 1
 
     cls, params = get_solver(solver_name)
     if precision == "fp32_ir":
@@ -201,7 +219,9 @@ def main(argv=None) -> int:
         ir_map = {"cg": "cg_ir", "cholesky": "cholesky_ir",
                   "gmres": "gmres_ir", "bicgstab": "bicgstab_ir"}
         target = ir_map.get(cls.name, cls.name)
-        if not target.endswith("_ir"):
+        if target == "block_cg":
+            pass  # block_cg IS its IR form (f32 SpMM + df64 residual)
+        elif not target.endswith("_ir"):
             print(f"Precision 'fp32_ir' is only implemented for the cg, "
                   f"cholesky, gmres, and bicgstab solver families "
                   f"(got '{solver_name}').", file=sys.stderr)

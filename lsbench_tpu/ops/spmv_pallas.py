@@ -240,6 +240,77 @@ def spmv_bsr_classed(A: BsrClassed, x: jax.Array,
     return y.reshape(-1)[: A.nrows]
 
 
+# ----------------------------------------------------- multi-RHS (SpMM)
+
+def _kernel_mm(idx_ref, x_ref, blocks_ref, o_ref, *, slots: int, br: int,
+               k: int):
+    """Y[gl] = sum_s blocks[gl,s] @ X[cols[gl,s]]ᵀ — the SpMV body with the
+    per-slot product promoted from a VPU broadcast-multiply to an MXU
+    dot_general over k right-hand sides. The streamed bytes are identical
+    to SpMV; every extra RHS rides the same block DMA, so effective
+    nnz/s scales ~k× until the MXU (not HBM) becomes the bound.
+    Contraction is over the 128-lane axis of both operands:
+    (br,128)·(k,128) → (br,k)."""
+    step = pl.program_id(0)
+    for gl in range(GPS):
+        acc = jnp.zeros((br, k), dtype=jnp.float32)
+        for s in range(slots):
+            cb = idx_ref[(step * GPS + gl) * slots + s]
+            xb = x_ref[cb]                                   # (k,128)
+            blk = blocks_ref[gl, s * br:(s + 1) * br, :]     # (br,128)
+            acc = acc + jax.lax.dot_general(
+                blk, xb, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        o_ref[gl] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("br", "interpret"))
+def _spmm_bsr_call(block_cols, x_table, blocks, br=BR, interpret=False):
+    n_groups, sb, _ = blocks.shape
+    slots = sb // br
+    n_cb, k, _ = x_table.shape
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_groups // GPS,),
+        in_specs=[
+            pl.BlockSpec((n_cb, k, BC), lambda g, idx: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((GPS, sb, BC), lambda g, idx: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((GPS, br, k), lambda g, idx: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    with jax.enable_x64(False):
+        return pl.pallas_call(
+            functools.partial(_kernel_mm, slots=slots, br=br, k=k),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n_groups, br, k), jnp.float32),
+            interpret=interpret,
+        )(block_cols.reshape(-1), x_table, blocks)
+
+
+def spmm_bsr(A: BsrMatrix, X: jax.Array, interpret: bool | None = None
+             ) -> jax.Array:
+    """Y = A @ X (f32). X: (ncols, k) → Y: (nrows, k).
+
+    TPU-native block solve primitive: the reference's solvers are all
+    single-RHS (lsbench.c:158-160 builds one r), but production pressure
+    solves batch RHS; on TPU the batch is near-free because SpMV is
+    HBM-bound on the streamed blocks (SURVEY §6 north star)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n, k = X.shape
+    n_cb = A.n_col_blocks
+    X_pad = jnp.zeros((n_cb * BC, k), dtype=jnp.float32).at[: A.ncols].set(
+        X.astype(jnp.float32))
+    # (n_cb, k, BC): both matmul operands lane-major on the 128 columns.
+    x_table = X_pad.reshape(n_cb, BC, k).transpose(0, 2, 1)
+    y = _spmm_bsr_call(A.block_cols, x_table, A.blocks, br=A.br,
+                       interpret=interpret)
+    return y.reshape(-1, k)[: A.nrows]
+
+
 # ------------------------------------------------------- double-float (f64)
 
 def _two_sum(a, b):

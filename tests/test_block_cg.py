@@ -1,0 +1,103 @@
+"""Multi-RHS (SpMM + block CG) tests — the TPU-native batch extension
+(no reference analog: lsbench builds exactly one RHS, lsbench.c:158-160)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from lsbench_tpu.matrix.bsr import BsrMatrix
+from lsbench_tpu.matrix.generate import poisson_2d, random_spd
+from lsbench_tpu.matrix.io import read_matrix
+from lsbench_tpu.ops.spmv_pallas import spmm_bsr, spmv_bsr
+from lsbench_tpu.solvers.block_cg import BlockCgSolver
+
+REF = "/root/reference/tests/xn3b_A_18.txt"
+
+
+def _dense(A):
+    D = np.zeros((A.nrows, A.ncols))
+    offs, cols, vals = map(np.asarray, (A.offs, A.cols, A.vals))
+    for i in range(A.nrows):
+        for p in range(offs[i], offs[i + 1]):
+            D[i, cols[p]] += vals[p]
+    return D
+
+
+@pytest.mark.parametrize("k", [1, 3, 8])
+def test_spmm_matches_dense(k):
+    A = random_spd(300, nnz_per_row=9, seed=2)
+    op = BsrMatrix.from_csr(A)
+    X = np.random.default_rng(k).standard_normal((A.ncols, k))
+    Y = np.asarray(spmm_bsr(op, jnp.asarray(X, jnp.float32)))
+    Yref = _dense(A) @ X
+    assert np.max(np.abs(Y - Yref)) / np.max(np.abs(Yref)) < 1e-5
+
+
+def test_spmm_column_equals_spmv():
+    A = poisson_2d(20)
+    op = BsrMatrix.from_csr(A)
+    X = np.random.default_rng(0).standard_normal((A.ncols, 4)).astype(
+        np.float32)
+    Y = np.asarray(spmm_bsr(op, jnp.asarray(X)))
+    for j in range(4):
+        yj = np.asarray(spmv_bsr(op, jnp.asarray(X[:, j])))
+        np.testing.assert_allclose(Y[:, j], yj, rtol=2e-6, atol=1e-6)
+
+
+def test_block_cg_poisson_all_columns():
+    A = poisson_2d(24)
+    n = A.nrows
+    rng = np.random.default_rng(3)
+    B = np.column_stack([np.arange(n, dtype=np.float64),
+                         rng.standard_normal(n),
+                         np.ones(n)])
+    s = BlockCgSolver(A, rtol=1e-10)
+    res = s.solve(B)
+    assert res.converged
+    assert res.extra["nrhs"] == 3
+    D = _dense(A)
+    X = np.asarray(res.x)
+    for j in range(3):
+        tr = np.linalg.norm(B[:, j] - D @ X[:, j]) / np.linalg.norm(B[:, j])
+        assert tr < 1e-9, (j, tr)
+
+
+def test_block_cg_reference_matrix():
+    A = read_matrix(REF)
+    n = A.nrows
+    B = np.column_stack([np.arange(n, dtype=np.float64),
+                         np.random.default_rng(4).standard_normal(n)])
+    s = BlockCgSolver(A, rtol=1e-10, ordering="rcm")
+    res = s.solve(B)
+    assert res.converged and res.relres <= 1e-10
+    assert max(res.extra["relres_cols"]) <= 1e-10
+
+
+def test_block_cg_1d_rhs_matches_cg():
+    A = poisson_2d(16)
+    b = np.arange(A.nrows, dtype=np.float64)
+    res = BlockCgSolver(A, rtol=1e-10).solve(b)
+    assert np.asarray(res.x).ndim == 1
+    assert res.converged
+
+
+def test_cli_nrhs(capsys):
+    from lsbench_tpu.harness.cli import main
+    rc = main(["--matrix", REF, "--solver", "cg", "--nrhs", "4",
+               "--trials", "2", "--json", "--platform", "cpu"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    import json
+    rec = json.loads(out[-1])
+    assert rec["solver"] == "block_cg"
+    assert rec["nrhs"] == 4
+    assert rec["converged"] is True
+    assert rec["true_relres"] < 1e-9
+
+
+def test_cli_nrhs_rejects_non_cg(capsys):
+    from lsbench_tpu.harness.cli import main
+    rc = main(["--matrix", REF, "--solver", "cholmod", "--nrhs", "2",
+               "--trials", "1", "--platform", "cpu"])
+    assert rc == 1

@@ -84,6 +84,35 @@ def test_spmv_bsr_classed_hw(A, x32):
     _f32_oracle_check(y, cl.matvec_reference(x32))
 
 
+def test_spmm_bsr_hw(A):
+    from lsbench_tpu.matrix.bsr import BsrMatrix
+    from lsbench_tpu.ops.spmv_pallas import spmm_bsr
+    bsr = BsrMatrix.from_csr(A)
+    X = jnp.asarray(np.random.default_rng(5).random((A.ncols, 8)),
+                    dtype=jnp.float32)
+    Y = np.asarray(spmm_bsr(bsr, X, interpret=False))
+    for j in range(8):
+        _f32_oracle_check(Y[:, j], bsr.matvec_reference(X[:, j]))
+
+
+def test_block_cg_solve_hw():
+    _require_tpu()
+    from lsbench_tpu.matrix.io import read_matrix
+    from lsbench_tpu.solvers.block_cg import BlockCgSolver
+    A = read_matrix(REF)
+    n = A.nrows
+    B = np.column_stack([np.arange(n, dtype=np.float64),
+                         np.random.default_rng(6).standard_normal(n)])
+    s = BlockCgSolver(A, rtol=1e-10, ordering="rcm")
+    res = s.solve(B)
+    assert res.converged
+    X = np.asarray(res.x, np.float64)
+    for j in range(B.shape[1]):
+        tr = (np.linalg.norm(B[:, j] - A.matvec(X[:, j]))
+              / np.linalg.norm(B[:, j]))
+        assert tr <= 1e-9, (j, tr)
+
+
 def test_spmv_df64_hw(A):
     from lsbench_tpu.matrix.bsr import BsrDf64
     from lsbench_tpu.ops.spmv_pallas import spmv_bsr_df64
