@@ -20,6 +20,11 @@ import time
 import numpy as np
 
 
+def jnp_max_abs(y):
+    import jax.numpy as jnp
+    return jnp.maximum(jnp.max(jnp.abs(y)), 1e-30)
+
+
 def slope_time(fn, x0, c1, c2, reps=3, args=()):
     """Median wall-seconds per step via two chain lengths (removes the
     ~30 ms remote-tunnel dispatch latency — bench.py's method). Operands
@@ -31,14 +36,19 @@ def slope_time(fn, x0, c1, c2, reps=3, args=()):
     def chain_wall(chain):
         def chained(a, v):
             def body(_, u):
-                return fn(a, u)
+                y = fn(a, u)
+                return y / jnp_max_abs(y)
             return jax.lax.fori_loop(0, chain, body, v)
         ch = jax.jit(chained)
-        jax.block_until_ready(ch(args, x0))
+        # Completion fence = host transfer, NOT block_until_ready: through
+        # the remote-TPU tunnel block_until_ready can return before the
+        # work is done (bench.py documents the same trap), which zeroes
+        # the slope.
+        np.asarray(ch(args, x0))
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
-            jax.block_until_ready(ch(args, x0))
+            np.asarray(ch(args, x0))
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts))
 
@@ -89,12 +99,12 @@ def main():
     bj = jnp.asarray(b)
     jitted = jax.jit(fn)
     t0 = time.perf_counter()
-    jax.block_until_ready(jitted(args, bj))
+    np.asarray(jitted(args, bj))
     first_s = time.perf_counter() - t0
     ts = []
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(jitted(args, bj))
+        np.asarray(jitted(args, bj))  # host-transfer fence (see slope_time)
         ts.append(time.perf_counter() - t0)
     res = s.solve(b)
     out["amgcg_ir_poisson_512"] = {
@@ -117,11 +127,11 @@ def main():
     fn2, args2 = s2.solve_fn_args()
     jit2 = jax.jit(fn2)
     b2j = jnp.asarray(b2)
-    jax.block_until_ready(jit2(args2, b2j))
+    np.asarray(jit2(args2, b2j))
     ts = []
     for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(jit2(args2, b2j))
+        np.asarray(jit2(args2, b2j))  # host-transfer fence (see slope_time)
         ts.append(time.perf_counter() - t0)
     out["band_cholesky_50k"] = {
         "n": A2.nrows, "nnz": A2.nnz,

@@ -82,13 +82,27 @@ class BsrMatrix:
 
     @staticmethod
     def from_csr(A: CsrMatrix, dtype=jnp.float32,
-                 block_rows: int = BR) -> "BsrMatrix":
-        blocks, block_cols, sel = _bsr_host_layout(A, block_rows)
+                 block_rows: int = BR, with_sel: bool = False) -> "BsrMatrix":
+        blocks, block_cols = _bsr_host_layout(A, block_rows)
+        sel = None
+        if with_sel:
+            sel = jnp.asarray(_bsr_selector(block_cols, A.ncols))
         return BsrMatrix(
             blocks=jnp.asarray(blocks, dtype=dtype),
             block_cols=jnp.asarray(block_cols),
             nrows=A.nrows, ncols=A.ncols, nnz=A.nnz, br=block_rows,
-            sel=jnp.asarray(sel))
+            sel=sel)
+
+    def ensure_sel(self) -> "BsrMatrix":
+        """Build the one-hot gather selector on demand. It is (G*S, C)
+        f32 — 1.6 GB at n=262k — and only the non-default "selector"
+        SpMV variant and matvec_xla need it, so from_csr skips it by
+        default (it used to dominate layout setup at scale: tens of
+        seconds of host build + device transfer through the tunnel)."""
+        if self.sel is None:
+            self.sel = jnp.asarray(_bsr_selector(
+                np.asarray(self.block_cols), self.ncols))
+        return self
 
 
     def matvec(self, x: jax.Array) -> jax.Array:
@@ -122,6 +136,7 @@ class BsrMatrix:
         xb = x_pad.reshape(self.n_col_blocks, BC)
         # HIGHEST precision: TPU matmuls default to bf16 operand rounding.
         hp = jax.lax.Precision.HIGHEST
+        self.ensure_sel()
         g = jnp.matmul(self.sel.astype(dt), xb, precision=hp)  # (G*S, 128)
         blk = self.blocks.astype(dt).reshape(
             self.n_groups, self.slots, self.br, BC)
@@ -132,7 +147,7 @@ class BsrMatrix:
 
 
 def _bsr_host_layout(A: CsrMatrix, block_rows: int = BR):
-    """Host-side (numpy) BSR assembly: (blocks f64, block_cols i32, sel f32).
+    """Host-side (numpy) BSR assembly: (blocks f64, block_cols i32).
 
     Kept device-free so callers needing a transformed upload (e.g. the
     double-float hi/lo split) never round-trip a 10s-of-MB emulated-f64
@@ -174,15 +189,19 @@ def _bsr_host_layout(A: CsrMatrix, block_rows: int = BR):
     rs, cs, vs = r[order], c[order], v[order]
     blocks[ugr[pr], slot_of_pair[pr] * BRl + (rs % BRl), cs % BC] = vs
 
-    # One-hot gather selector: row t selects x_table[block_cols_flat[t]].
-    # 0/1 values, so f32 is exact; DMA cost is S/(BRl·C) of the blocks
-    # (~5% at reference scale).
-    C = _round_up(A.ncols, BC) // BC
-    flat_cols = block_cols.reshape(-1)
-    sel = np.zeros((flat_cols.size, max(C, 1)), dtype=np.float32)
-    sel[np.arange(flat_cols.size), flat_cols] = 1.0
+    return blocks, block_cols
 
-    return blocks, block_cols, sel
+
+def _bsr_selector(block_cols: np.ndarray, ncols: int) -> np.ndarray:
+    """One-hot gather selector: row t selects x_table[block_cols_flat[t]].
+    0/1 values, so f32 is exact; DMA cost is S/(BRl*C) of the blocks
+    (~5% at reference scale) but the HOST array is (G*S, C) — quadratic-ish
+    in n — so it is built lazily (BsrMatrix.ensure_sel), never eagerly."""
+    C = max(_round_up(ncols, BC) // BC, 1)
+    flat_cols = block_cols.reshape(-1)
+    sel = np.zeros((flat_cols.size, C), dtype=np.float32)
+    sel[np.arange(flat_cols.size), flat_cols] = 1.0
+    return sel
 
 
 @jax.tree_util.register_pytree_node_class
@@ -227,7 +246,7 @@ class BsrDf64:
         # Routing through a device f64 BsrMatrix round-trips the blocks as
         # emulated f64 over the remote-TPU tunnel — measured minutes at
         # reference scale vs <1 s this way.
-        b64, block_cols, _sel = _bsr_host_layout(A, block_rows)
+        b64, block_cols = _bsr_host_layout(A, block_rows)
         hi = b64.astype(np.float32)
         lo = (b64 - hi.astype(np.float64)).astype(np.float32)
         return BsrDf64(blocks_hi=jnp.asarray(hi), blocks_lo=jnp.asarray(lo),

@@ -537,6 +537,7 @@ def spmv_bsr(A: BsrMatrix, x: jax.Array, interpret: bool | None = None,
         # HIGHEST-precision gather matmul cost more than the loads).
         variant = "prefetch"
     if variant == "selector":
+        A.ensure_sel()
         y = _spmv_bsr_selector_call(A.sel, x_table, A.blocks, br=A.br,
                                     interpret=interpret)
     elif variant == "onehot":

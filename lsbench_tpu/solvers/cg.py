@@ -108,7 +108,7 @@ def build_matvec(A: CsrMatrix, dtype, layout: str):
         return (lambda op, v: spmv_bsr_df64(op, v)), op, op.bytes_streamed
     if layout == "bsr_xla":
         from lsbench_tpu.matrix.bsr import BsrMatrix
-        op = BsrMatrix.from_csr(A, dtype=dtype)
+        op = BsrMatrix.from_csr(A, dtype=dtype, with_sel=True)
         stream = op.bytes_streamed + op.sel.size * 4
         return (lambda op, v: op.matvec_xla(v)), op, stream
     ell = EllMatrix.from_csr(A, dtype=dtype)

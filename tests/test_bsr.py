@@ -169,7 +169,7 @@ def test_bsr_df64_hi_lo_split_exact():
     A = random_spd(200, nnz_per_row=13, seed=9)
     B = BsrDf64.from_csr(A)
     assert B.blocks_hi.dtype == jnp.float32 and B.blocks_lo.dtype == jnp.float32
-    b64, bcols, _ = _bsr_host_layout(A)
+    b64, bcols = _bsr_host_layout(A)
     rec = np.asarray(B.blocks_hi, np.float64) + np.asarray(B.blocks_lo, np.float64)
     scale = np.abs(b64).max()
     assert np.abs(rec - b64).max() <= scale * 2.0 ** -47  # two-round split
