@@ -114,6 +114,16 @@ def main():
 
     gnnz_s = A.nnz / t_pallas / 1e9
 
+    # Multi-RHS SpMM (k=8): same streamed blocks, MXU dot_general per
+    # slot — the k RHS ride the SpMV's HBM traffic, so effective nnz/s
+    # should approach k x the SpMV rate (ops/spmv_pallas.py::spmm_bsr).
+    from lsbench_tpu.ops.spmv_pallas import spmm_bsr
+    K_RHS = 8
+    X0 = jnp.asarray(np.random.default_rng(2).random((n, K_RHS)),
+                     dtype=jnp.float32)
+    t_spmm, _ = _slope_timed(lambda a, V: spmm_bsr(a, V), X0, 100, 600,
+                             args=bsr)
+
     # Solver time-to-solution, slope-timed like the SpMV (the ~30 ms
     # remote-tunnel dispatch would otherwise swamp the device time).
     # Chained solves stay unfoldable because each step's rhs depends
@@ -157,6 +167,8 @@ def main():
             "xla_gather_spmv_us": round(t_gather * 1e6, 2),
             "df64_spmv_us": round(t_df64 * 1e6, 2),
             "df64_gnnz_per_s": round(A.nnz / t_df64 / 1e9, 3),
+            "spmm_k8_us": round(t_spmm * 1e6, 2),
+            "spmm_k8_eff_gnnz_per_s": round(K_RHS * A.nnz / t_spmm / 1e9, 3),
             "hbm_gb_per_s": round(bsr.bytes_streamed / t_pallas / 1e9, 1),
             "dispatch_latency_ms": round(disp * 1e3, 1),
             "cg_fp32ir_solve_s": round(cg_s, 5),

@@ -192,6 +192,34 @@ def _bsr_host_layout(A: CsrMatrix, block_rows: int = BR):
     return blocks, block_cols
 
 
+def classed_layout_wins(A: CsrMatrix, block_rows: int = BR,
+                        min_supergroups: int = 1024,
+                        min_ratio: float = 1.25) -> bool:
+    """Cheap pre-layout decision: should the f32 SpMV use the class-padded
+    layout (BsrClassed) instead of uniform padding (BsrMatrix)?
+
+    Uniform pads every supergroup to the global max slot count; one wide
+    row region taxes the whole stream. Classing costs ~10 us of pipeline
+    fill per extra pallas_call, so it only pays when the matrix is large
+    (SpMV time >> call overhead) AND the padding ratio is material.
+    Measured: xn3b_A_10 (816 groups) uniform 65 us vs classed 80 us —
+    uniform wins; n=262k Poisson uniform 671 MB vs classed 530 MB streamed
+    — classed wins. The stat pass is a numpy groupby, O(nnz)."""
+    BRl = block_rows
+    n_groups = _round_up(_round_up(A.nrows, BRl) // BRl, GPS)
+    n_sg = n_groups // GPS
+    if n_sg < min_supergroups:
+        return False
+    r, c, _ = A.to_coo()
+    keys = (r // BRl) * (1 << 32) + c // BC
+    uniq = np.unique(keys)
+    counts = np.bincount((uniq >> 32).astype(np.int64), minlength=n_groups)
+    sg_S = counts.reshape(n_sg, GPS).max(axis=1)
+    smax = max(int(sg_S.max()), 1)
+    exact = float(np.maximum(sg_S, 1).sum())
+    return (n_sg * smax) / exact >= min_ratio
+
+
 def _bsr_selector(block_cols: np.ndarray, ncols: int) -> np.ndarray:
     """One-hot gather selector: row t selects x_table[block_cols_flat[t]].
     0/1 values, so f32 is exact; DMA cost is S/(BRl*C) of the blocks

@@ -258,9 +258,14 @@ def _kernel_mm(idx_ref, x_ref, blocks_ref, o_ref, *, slots: int, br: int,
             cb = idx_ref[(step * GPS + gl) * slots + s]
             xb = x_ref[cb]                                   # (k,128)
             blk = blocks_ref[gl, s * br:(s + 1) * br, :]     # (br,128)
+            # HIGHEST precision: TPU matmuls otherwise round OPERANDS to
+            # bf16 — measured 4.4e-3 relative error on v5e (fine in
+            # interpret mode), which also stalls block_cg at ~1e-7. The
+            # extra MXU passes are free: the kernel is HBM-bound.
             acc = acc + jax.lax.dot_general(
                 blk, xb, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
         o_ref[gl] = acc
 
 

@@ -97,10 +97,24 @@ def build_matvec(A: CsrMatrix, dtype, layout: str):
         return (lambda op, v: jnp.matmul(op, v.astype(op.dtype), precision=hp)
                 ), op, op.size * op.dtype.itemsize
     if layout == "bsr":
-        from lsbench_tpu.matrix.bsr import BsrMatrix
+        from lsbench_tpu.matrix.bsr import (BsrMatrix,
+                                            classed_layout_wins)
         from lsbench_tpu.ops.spmv_pallas import spmv_bsr
-        op = BsrMatrix.from_csr(A, dtype=jnp.float32)
-        return (lambda op, v: spmv_bsr(op, v)), op, op.bytes_streamed
+        if classed_layout_wins(A):
+            layout = "bsr_classed"
+        else:
+            op = BsrMatrix.from_csr(A, dtype=jnp.float32)
+            return (lambda op, v: spmv_bsr(op, v)), op, op.bytes_streamed
+    if layout == "bsr_classed":
+        # Class-padded BSR: wins at large n when a few wide row groups
+        # would otherwise pad every group to the global max slot count
+        # (~25% less HBM traffic at n=262k Poisson; the 2 extra
+        # pallas_call pipeline fills ~20 us are negligible there but NOT
+        # at reference scale, hence the size gate in classed_layout_wins).
+        from lsbench_tpu.matrix.bsr import BsrClassed
+        from lsbench_tpu.ops.spmv_pallas import spmv_bsr_classed
+        op = BsrClassed.from_csr(A, dtype=jnp.float32)
+        return (lambda op, v: spmv_bsr_classed(op, v)), op, op.bytes_streamed
     if layout == "bsr_df64":
         from lsbench_tpu.matrix.bsr import BsrDf64
         from lsbench_tpu.ops.spmv_pallas import spmv_bsr_df64

@@ -174,3 +174,29 @@ def test_bsr_df64_hi_lo_split_exact():
     scale = np.abs(b64).max()
     assert np.abs(rec - b64).max() <= scale * 2.0 ** -47  # two-round split
     np.testing.assert_array_equal(np.asarray(B.block_cols), bcols)
+
+
+def test_sel_is_lazy():
+    from lsbench_tpu.matrix.bsr import BsrMatrix
+    from lsbench_tpu.matrix.generate import random_spd
+    A = random_spd(200, nnz_per_row=9, seed=11)
+    op = BsrMatrix.from_csr(A, dtype=jnp.float64)
+    assert op.sel is None          # never built eagerly (1.6 GB at n=262k)
+    op.ensure_sel()
+    assert op.sel is not None
+    x = np.random.default_rng(0).random(A.ncols)
+    y = np.asarray(op.matvec_xla(jnp.asarray(x)))
+    yref = A.matvec(x)
+    assert np.abs(y - yref).max() / np.abs(yref).max() < 1e-12
+
+
+def test_classed_layout_wins_gate():
+    from lsbench_tpu.matrix.bsr import classed_layout_wins
+    from lsbench_tpu.matrix.generate import poisson_2d
+    from lsbench_tpu.ordering.rcm import rcm_ordering
+    # Reference scale: too small for classing to pay its call overhead.
+    small = poisson_2d(48)
+    assert classed_layout_wins(small.permuted(rcm_ordering(small))) is False
+    # Large + padded: classing wins (gate at n_sg >= 1024 i.e. n >= 131k).
+    big = poisson_2d(384)  # n=147k
+    assert classed_layout_wins(big.permuted(rcm_ordering(big))) is True
