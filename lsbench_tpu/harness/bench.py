@@ -4,8 +4,10 @@ Fixes the reference's measurement defects (SURVEY.md §2.3) while keeping its
 shape: the reference times `trials` back-to-back solves after an equal-length
 warmup using CPU `clock()` (cusparse.c:181-197, cholmod-impl.h:44-63). Here:
 
-- wall time via `time.perf_counter` with `jax.block_until_ready` fences
-  (clock() measures CPU time — wrong for device-async work),
+- wall time via `time.perf_counter` with HOST-TRANSFER fences
+  (clock() measures CPU time — wrong for device-async work; and
+  jax.block_until_ready is not a reliable completion fence through the
+  remote-TPU tunnel — see utils/fence.py),
 - warmup count independent of trials (the reference doubles total work),
 - setup (layout/ordering/factorization/AMG hierarchy) timed separately from
   solve (the reference conflates them differently per backend — §3.3),
@@ -23,6 +25,7 @@ import numpy as np
 
 from lsbench_tpu.matrix.csr import CsrMatrix
 from lsbench_tpu.solvers.base import Solver
+from lsbench_tpu.utils import host_fence
 
 
 @dataclass
@@ -82,16 +85,19 @@ def run_bench(
     # TPU setup cost through the remote tunnel), so the record can
     # attribute it (VERDICT r1 item 10).
     t0 = time.perf_counter()
-    jax.block_until_ready(fn(b))
+    host_fence(fn(b))
     first_call_s = time.perf_counter() - t0
     for _ in range(max(warmups - 1, 0)):
-        jax.block_until_ready(fn(b))
+        host_fence(fn(b))
 
     t0 = time.perf_counter()
     out = None
     for _ in range(trials):
         out = fn(b)
-    jax.block_until_ready(out)
+    # Host-transfer fence: TPU executes enqueued programs in order, so
+    # fetching the last trial's result fences all of them; the (small)
+    # result copy-back mirrors the reference protocol (cusparse.c:203).
+    host_fence(out)
     elapsed = time.perf_counter() - t0
 
     # One reporting solve for iteration count / residual (outside timing).

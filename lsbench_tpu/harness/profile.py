@@ -14,6 +14,8 @@ import time
 import jax
 import jax.numpy as jnp
 
+from lsbench_tpu.utils import host_fence
+
 # Peak HBM bandwidth (GB/s) per chip by device kind, for roofline denominators.
 HBM_GBPS = {
     "v5 lite": 819.0, "v5e": 819.0, "v5p": 2765.0, "v4": 1228.0,
@@ -50,11 +52,11 @@ def _chain_wall(fn, x, chain: int, reps: int) -> float:
             return y / jnp.maximum(jnp.max(jnp.abs(y)), 1e-30)
         return jax.lax.fori_loop(0, chain, body, v)
 
-    jax.block_until_ready(chained(x))
+    host_fence(chained(x))
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(chained(x))
+        host_fence(chained(x))
         ts.append(time.perf_counter() - t0)
     return sorted(ts)[reps // 2]
 

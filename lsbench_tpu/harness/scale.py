@@ -45,13 +45,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def _time_solver(solver, b, reps: int) -> float:
-    import jax
+    from lsbench_tpu.utils import host_fence
     fn = solver.solve_fn()
-    jax.block_until_ready(fn(b))  # compile + warm
+    host_fence(fn(b))  # compile + warm
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(b))
+        host_fence(fn(b))
         ts.append(time.perf_counter() - t0)
     return sorted(ts)[reps // 2]
 
