@@ -207,9 +207,13 @@ def main(argv=None) -> int:
                    for _ in range(args.nrhs - 1)])
         if solver_name in ("cg", "cg_ir"):
             solver_name = "block_cg"
-        elif solver_name != "block_cg":
+        elif solver_name not in ("block_cg", "cholesky", "cholesky_ir",
+                                 "cholmod", "cusolver"):
             print(f"--nrhs > 1 is only implemented for the cg family "
-                  f"(block_cg); got '{solver_name}'.", file=sys.stderr)
+                  f"(block_cg) and the dense Cholesky family "
+                  f"(cholmod/cusolver: X = A⁻¹B as one MXU GEMM per "
+                  f"refinement pass); got '{solver_name}'.",
+                  file=sys.stderr)
             return 1
 
     cls, params = get_solver(solver_name)

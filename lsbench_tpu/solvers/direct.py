@@ -117,6 +117,7 @@ class CholeskySolver(Solver):
         self._dense = dense
         self._trisolve = _trisolve
         self._factor_and_solve = _factor_and_solve
+
         if self.refactor:
             self._L = None
         else:
@@ -129,10 +130,19 @@ class CholeskySolver(Solver):
             res.extra["precision_mode"] = "fp32_ir_auto"
             return res
         b = jnp.asarray(b)
-        if self.refactor:
-            x = self._factor_and_solve(self._dense, b)
-        else:
-            x = self._trisolve(self._L, b)
+        fn = self.solve_fn()
+        x = fn(b)
+        if b.ndim == 2:
+            bh = np.asarray(b, np.float64)
+            xh = np.asarray(x, np.float64)
+            cols = [self.residual_norm(xh[:, j], bh[:, j])
+                    / max(float(np.linalg.norm(bh[:, j])), 1e-300)
+                    for j in range(b.shape[1])]
+            relres = max(cols)
+            return SolveResult(x=x, iters=1, relres=relres,
+                               converged=bool(np.isfinite(relres)),
+                               extra={"nrhs": int(b.shape[1]),
+                                      "relres_cols": cols})
         relres = self.residual_norm(x, b) / max(float(np.linalg.norm(np.asarray(b))), 1e-300)
         return SolveResult(x=x, iters=1, relres=relres,
                            converged=bool(np.isfinite(relres)))
@@ -142,9 +152,17 @@ class CholeskySolver(Solver):
             return self._delegate.solve_fn()
         if self.refactor:
             dense, fs = self._dense, self._factor_and_solve
-            return lambda b: fs(dense, jnp.asarray(b))
-        L, ts = self._L, self._trisolve
-        return lambda b: ts(L, jnp.asarray(b))
+            fn1 = lambda b: fs(dense, b)
+        else:
+            L, ts = self._L, self._trisolve
+            fn1 = lambda b: ts(L, b)
+
+        def wrapped(b):
+            b = jnp.asarray(b)
+            if b.ndim == 2:   # multi-RHS: vmap over columns
+                return jax.vmap(fn1, in_axes=1, out_axes=1)(b)
+            return fn1(b)
+        return wrapped
 
     def solve_fn_args(self):
         if self._delegate is not None:
@@ -291,6 +309,13 @@ class CholeskyIrSolver(Solver):
                 x = x[inv_dev]
             return x, passes, jnp.sqrt(rr), bnorm
 
+        # Multi-RHS (CLI --nrhs): vmap over columns. The inner f32 apply
+        # M @ r batches into ONE MXU GEMM; the df64 residual Pallas SpMV
+        # batches via pallas_call's vmap rule (verified on v5e, err ~4e-15).
+        # while_loop under vmap runs to the slowest column with masked
+        # updates — same protocol as block_cg's worst-column stop.
+        self._vmap_solve = None
+
         if self.refactor:
             # cusolver csrlsvchol protocol: factor+solve per trial
             # (cusparse.c:183-194). The re-factor runs ON DEVICE inside the
@@ -307,20 +332,37 @@ class CholeskyIrSolver(Solver):
             self._jit_solve = _solve
             self._first_arg = self._Ainv if use_inv else self._L
 
+    def _solve_any(self, arg, op64, b):
+        """Dispatch 1-D b to the scalar solve, (n,k) B to the vmapped one."""
+        if b.ndim == 1:
+            return self._jit_solve(arg, op64, b)
+        if self._vmap_solve is None:
+            self._vmap_solve = jax.jit(jax.vmap(
+                self._jit_solve, in_axes=(None, None, 1),
+                out_axes=(1, 0, 0, 0)))
+        return self._vmap_solve(arg, op64, b)
+
     def solve(self, b) -> SolveResult:
-        x, passes, rnorm, bnorm = self._jit_solve(self._first_arg,
-                                                  self._op64, jnp.asarray(b))
-        rnorm, bnorm = float(rnorm), float(bnorm)
-        relres = rnorm / bnorm if bnorm > 0 else 0.0
-        return SolveResult(x=x, iters=int(passes), relres=relres,
-                           converged=relres <= self.rtol or bnorm == 0.0,
-                           extra={"refine_passes": int(passes)})
+        b = jnp.asarray(b)
+        x, passes, rnorm, bnorm = self._solve_any(self._first_arg,
+                                                  self._op64, b)
+        rnorm = np.atleast_1d(np.asarray(rnorm, dtype=np.float64))
+        bnorm = np.atleast_1d(np.asarray(bnorm, dtype=np.float64))
+        relres_cols = np.where(bnorm > 0, rnorm / np.maximum(bnorm, 1e-300),
+                               0.0)
+        relres = float(relres_cols.max())
+        extra = {"refine_passes": int(np.max(passes))}
+        if b.ndim == 2:
+            extra["nrhs"] = int(b.shape[1])
+            extra["relres_cols"] = relres_cols.tolist()
+        return SolveResult(x=x, iters=int(np.max(passes)), relres=relres,
+                           converged=relres <= self.rtol or bnorm.max() == 0.0,
+                           extra=extra)
 
     def solve_fn(self):
-        arg, op64, js = self._first_arg, self._op64, self._jit_solve
-        return lambda b: js(arg, op64, jnp.asarray(b))[0]
+        arg, op64 = self._first_arg, self._op64
+        return lambda b: self._solve_any(arg, op64, jnp.asarray(b))[0]
 
     def solve_fn_args(self):
-        js = self._jit_solve
-        return ((lambda args, b: js(*args, jnp.asarray(b))[0]),
+        return ((lambda args, b: self._solve_any(*args, jnp.asarray(b))[0]),
                 (self._first_arg, self._op64))

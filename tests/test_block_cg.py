@@ -98,6 +98,16 @@ def test_cli_nrhs(capsys):
 
 def test_cli_nrhs_rejects_non_cg(capsys):
     from lsbench_tpu.harness.cli import main
-    rc = main(["--matrix", REF, "--solver", "cholmod", "--nrhs", "2",
+    rc = main(["--matrix", REF, "--solver", "hypre", "--nrhs", "2",
                "--trials", "1", "--platform", "cpu"])
     assert rc == 1
+
+
+def test_cli_nrhs_cholmod(capsys):
+    from lsbench_tpu.harness.cli import main
+    rc = main(["--matrix", REF, "--solver", "cholmod", "--nrhs", "3",
+               "--trials", "2", "--json", "--platform", "cpu"])
+    assert rc == 0
+    import json
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["nrhs"] == 3 and rec["true_relres"] < 1e-9

@@ -113,6 +113,25 @@ def test_block_cg_solve_hw():
         assert tr <= 1e-9, (j, tr)
 
 
+def test_cholmod_multirhs_hw():
+    _require_tpu()
+    from lsbench_tpu.matrix.io import read_matrix
+    from lsbench_tpu.solvers.base import get_solver
+    A = read_matrix(REF)
+    n = A.nrows
+    B = np.column_stack([np.arange(n, dtype=np.float64),
+                         np.random.default_rng(7).standard_normal(n)])
+    cls, params = get_solver("cholmod")
+    s = cls(A, **params)
+    res = s.solve(B)
+    assert res.extra.get("nrhs") == 2
+    X = np.asarray(res.x, np.float64)
+    for j in range(2):
+        tr = (np.linalg.norm(B[:, j] - A.matvec(X[:, j]))
+              / np.linalg.norm(B[:, j]))
+        assert tr <= 1e-9, (j, tr)
+
+
 def test_spmv_df64_hw(A):
     from lsbench_tpu.matrix.bsr import BsrDf64
     from lsbench_tpu.ops.spmv_pallas import spmv_bsr_df64
