@@ -61,7 +61,8 @@ class BenchRecord:
             "setup_s": self.setup_s, "solve_s": self.solve_s,
             "iters": self.iters, "relres": self.relres,
             "converged": self.converged, "precision": self.precision,
-            "nnz_per_s": (self.nnz * max(self.iters, 1)) / self.solve_s
+            "nnz_per_s": (self.nnz * max(self.iters, 1)
+                          * self.extra.get("nrhs", 1)) / self.solve_s
             if self.solve_s > 0 else None,
         }
         d.update(self.extra)
