@@ -204,7 +204,7 @@ def _spmv_bsr_classed_call(bcols, oidx, x_table, blocks, y_in, br, n_groups):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((GPS, sb, BC), lambda g, bc, oi: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # aliased carry, untouched
+            pl.BlockSpec(memory_space=pl.ANY),  # aliased carry, untouched
         ],
         out_specs=pl.BlockSpec((GPS, br), lambda g, bc, oi: (oi[g], 0),
                                memory_space=pltpu.VMEM),
