@@ -110,8 +110,11 @@ def run_bench(
     # record: the reference enforces FP64 (lsbench.c:140-141), so any
     # substitution must be visible in the `precision` field itself, not
     # only in extra.
-    if "precision_mode" in res.extra:
-        precision = f"{precision}({res.extra['precision_mode']})"
+    mode = res.extra.get("precision_mode")
+    if mode:
+        base = mode[: -len("_auto")] if mode.endswith("_auto") else mode
+        if base not in precision:
+            precision = f"{precision}({mode})"
 
     return BenchRecord(
         matrix=matrix_name, n=solver.A.nrows, nnz=solver.A.nnz,

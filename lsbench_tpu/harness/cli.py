@@ -205,10 +205,20 @@ def main(argv=None) -> int:
         b = np.column_stack(
             [b] + [rng.standard_normal(A.nrows)
                    for _ in range(args.nrhs - 1)])
-        if solver_name in ("cg", "cg_ir"):
+        # Gate on the RESOLVED solver (aliases like ginkgo→bicgstab must
+        # be judged by what they run, not how they are spelled).
+        resolved_cls, _ = get_solver(solver_name)
+        if resolved_cls.name in ("cg", "cg_ir"):
             solver_name = "block_cg"
-        elif solver_name not in ("block_cg", "cholesky", "cholesky_ir",
-                                 "cholmod", "cusolver"):
+            if precision == "fp64" and args.verbose >= 0:
+                # block_cg is structurally f32 SpMM + df64 residual
+                # refinement; the record's precision field will say so
+                # (run_bench reflects extra["precision_mode"]).
+                print("nrhs: cg with multiple RHS runs as block_cg "
+                      "(f32 SpMM inner + double-float f64 refinement, "
+                      "mode fp32_ir_auto).", file=sys.stderr)
+        elif resolved_cls.name not in ("block_cg", "cholesky",
+                                       "cholesky_ir"):
             print(f"--nrhs > 1 is only implemented for the cg family "
                   f"(block_cg) and the dense Cholesky family "
                   f"(cholmod/cusolver: X = A⁻¹B as one MXU GEMM per "

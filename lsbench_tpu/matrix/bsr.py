@@ -100,6 +100,20 @@ class BsrMatrix:
         default (it used to dominate layout setup at scale: tens of
         seconds of host build + device transfer through the tunnel)."""
         if self.sel is None:
+            import jax.core as _core
+            if isinstance(self.block_cols, jax.Array) and not isinstance(
+                    self.block_cols, _core.Tracer):
+                pass  # concrete device array: safe to pull to host
+            elif not isinstance(self.block_cols, np.ndarray):
+                # Inside jit the matrix is a pytree of tracers: np.asarray
+                # would raise ConcretizationTypeError, and mutating `sel`
+                # would change the registered treedef mid-trace. Demand
+                # eager construction instead.
+                raise ValueError(
+                    "BsrMatrix.sel is needed inside a traced computation "
+                    "but was never built. Construct the matrix with "
+                    "BsrMatrix.from_csr(..., with_sel=True) (or call "
+                    "ensure_sel() before jit) to use the selector variant.")
             self.sel = jnp.asarray(_bsr_selector(
                 np.asarray(self.block_cols), self.ncols))
         return self

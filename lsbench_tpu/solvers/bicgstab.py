@@ -70,8 +70,14 @@ def bicgstab_loop(matvec, precond_apply, b, rtol, maxiter, dtype):
         x_n = x + alpha_n * ph + omega_n * sh
         r_n = sv - omega_n * t
         rr_new = jnp.vdot(r_n, r_n)
-        good = jnp.logical_and(jnp.isfinite(rr_new),
-                               jnp.logical_or(rho_new != 0, rr <= tol2))
+        # A zero-progress stall — guarded divisions zeroed BOTH alpha
+        # (r0·v == 0) and omega (t·t == 0) while rho stayed nonzero — makes
+        # x_n == x and would spin to maxiter; treat it as breakdown too.
+        stalled = jnp.logical_and(alpha_n == 0, omega_n == 0)
+        good = jnp.logical_and(
+            jnp.isfinite(rr_new),
+            jnp.logical_and(jnp.logical_or(rho_new != 0, rr <= tol2),
+                            jnp.logical_not(stalled)))
         pick = lambda a, b_: jnp.where(good, a, b_)
         return (pick(x_n, x), pick(r_n, r), pick(p_n, p), pick(v_n, v),
                 pick(rho_new, rho), pick(alpha_n, alpha),

@@ -111,3 +111,37 @@ def test_cli_nrhs_cholmod(capsys):
     import json
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rec["nrhs"] == 3 and rec["true_relres"] < 1e-9
+
+
+def test_block_cg_solve_fn_1d_rhs():
+    """ADVICE r2 (medium): the bench harness passes the raw 1-D RHS to
+    solve_fn; it must get the same (n,)→(n,1)→(n,) promotion as solve()."""
+    A = poisson_2d(16)
+    b = np.arange(A.nrows, dtype=np.float64)
+    s = BlockCgSolver(A, rtol=1e-10)
+    x = np.asarray(s.solve_fn()(jnp.asarray(b)))
+    assert x.ndim == 1 and x.shape == (A.nrows,)
+    fn, args = s.solve_fn_args()
+    x2 = np.asarray(fn(args, jnp.asarray(b)))
+    assert x2.shape == (A.nrows,)
+    np.testing.assert_allclose(x, x2, rtol=1e-12)
+
+
+def test_cli_nrhs_ginkgo_alias_rejected_by_resolved_name(capsys):
+    """ADVICE r2: --nrhs gating resolves the alias first; ginkgo→bicgstab
+    is not in the multi-RHS families and must be rejected cleanly."""
+    from lsbench_tpu.harness.cli import main
+    rc = main(["--matrix", REF, "--solver", "ginkgo", "--nrhs", "2",
+               "--trials", "1", "--platform", "cpu"])
+    assert rc == 1
+
+
+def test_block_cg_bench_record_precision(capsys):
+    """block_cg's structural f32+df64 mode is first-class in the record."""
+    from lsbench_tpu.harness.cli import main
+    rc = main(["--matrix", REF, "--solver", "block_cg", "--trials", "1",
+               "--json", "--platform", "cpu"])
+    assert rc == 0
+    import json
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "fp32_ir" in rec["precision"]
