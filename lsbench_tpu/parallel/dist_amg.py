@@ -67,7 +67,7 @@ class _DistAmgBase(Solver):
                  theta=None, coarsening="sa", smoother="chebyshev", degree=2,
                  pre_sweeps=1, post_sweeps=1, coarse_n=64, max_levels=12,
                  jacobi_scale=4.0 / 3.0, cheby_lower=0.30, ordering="rcm",
-                 comm="auto", **params):
+                 comm="auto", local_spmv="auto", **params):
         super().__init__(A, **params)
         self.mesh = mesh
         self.dtype = jnp.dtype(dtype)
@@ -111,6 +111,21 @@ class _DistAmgBase(Solver):
         def shard2(x):
             return jax.device_put(x, row2)
 
+        # Fine-level local SpMV: the Pallas BSR kernel (f32, or double-
+        # float for f64) inside shard_map — the smoother matvecs at level 0
+        # carry ~all the nnz traffic, so this is where the 48× gather→BSR
+        # win lands (VERDICT r2 item 2). Coarse levels stay ELL (latency-
+        # bound either way). "auto": BSR on TPU whenever level 0 is banded.
+        if local_spmv == "auto":
+            want_bsr = jax.default_backend() == "tpu"
+        elif local_spmv in ("bsr", "ell"):
+            want_bsr = local_spmv == "bsr"
+        else:
+            raise ValueError(f"unknown local_spmv '{local_spmv}' "
+                             "(auto | bsr | ell)")
+        self._fine_bsr = None  # (halo, nloc, n_ext) when BSR engages
+        blk_spec = P(ROWS, None, None, None)
+
         levels_dev = []
         levels_spec = []
         self._halos = []  # per level: halo width (ppermute ring) or None
@@ -127,20 +142,47 @@ class _DistAmgBase(Solver):
             if halo is None:
                 av, ac = _ell_padded(m["A"], npf, self.dtype)
             self._halos.append(halo)
+            lvl = {}
+            spec = {}
+            if l == 0 and want_bsr and halo is not None:
+                from lsbench_tpu.parallel.dist_spmv import build_halo_bsr_plan
+                bp = build_halo_bsr_plan(m["A"], n_dev, self.dtype)
+                if not bp.needs_all_gather:
+                    assert bp.n_pad == npf
+                    self._fine_bsr = (bp.halo, bp.nloc, bp.n_ext)
+                    lvl["bc"] = shard2(bp.bcols)
+                    spec["bc"] = P(ROWS, None)
+                    lvl["bh"] = jax.device_put(
+                        bp.blocks_hi, NamedSharding(mesh, blk_spec))
+                    spec["bh"] = blk_spec
+                    if bp.blocks_lo is not None:
+                        lvl["blo"] = jax.device_put(
+                            bp.blocks_lo, NamedSharding(mesh, blk_spec))
+                        spec["blo"] = blk_spec
+                    # The ELL arrays for level 0 are dead on the BSR path;
+                    # ship (n_dev, 1) stubs instead of n×k live arrays.
+                    av = jnp.zeros((n_dev, 1), dtype=self.dtype)
+                    ac = jnp.zeros((n_dev, 1), dtype=jnp.int32)
             pv, pc = _ell_padded(m["P"], npf, self.dtype)
             rv, rc = _ell_padded(m["R"], npc, self.dtype)
             dinv = np.zeros(npf)
             dinv[: sizes[l]] = m["dinv"]
-            lvl = dict(av=shard2(av), ac=shard2(ac),
+            lvl.update(av=shard2(av), ac=shard2(ac),
                        pv=shard2(pv), pc=shard2(pc),
                        rv=shard2(rv), rc=shard2(rc),
                        dinv=jax.device_put(
                            jnp.asarray(dinv, dtype=self.dtype), row1))
+            spec.update(av=P(ROWS, None), ac=P(ROWS, None),
+                        pv=P(ROWS, None), pc=P(ROWS, None),
+                        rv=P(ROWS, None), rc=P(ROWS, None),
+                        dinv=P(ROWS))
             levels_dev.append(lvl)
-            levels_spec.append(dict(av=P(ROWS, None), ac=P(ROWS, None),
-                                    pv=P(ROWS, None), pc=P(ROWS, None),
-                                    rv=P(ROWS, None), rc=P(ROWS, None),
-                                    dinv=P(ROWS)))
+            levels_spec.append(spec)
+        self.local_spmv = "bsr" if self._fine_bsr is not None else "ell"
+        # check_vma off when the fine level runs the Pallas kernel:
+        # pallas_call's out_shape carries no varying-mesh-axes annotation,
+        # which shard_map's checker rejects.
+        self._check_vma = self._fine_bsr is None
 
         # Coarsest: replicated dense factor padded with identity rows.
         npL = pads[-1]
@@ -163,15 +205,28 @@ class _DistAmgBase(Solver):
         halos = self._halos
         import jax.scipy.linalg as jsl
 
-        from lsbench_tpu.parallel.dist_spmv import halo_spmv_local
+        from lsbench_tpu.parallel.dist_spmv import (
+            halo_spmv_bsr_df64_local, halo_spmv_bsr_local, halo_spmv_local)
+
+        fine_bsr = self._fine_bsr
+        dt = self.dtype
+        df64 = dt == jnp.dtype(jnp.float64)
 
         def matvec(vals_l, cols_l, x_l):
             xf = jax.lax.all_gather(x_l, ROWS, tiled=True)
             return jnp.sum(vals_l * xf[cols_l], axis=1)
 
         def a_matvec(lvl, L, x_l):
-            """Level operator: O(halo) ppermute ring when banded, else
-            all_gather."""
+            """Level operator: fine level → Pallas BSR kernel when banded
+            (f32 / double-float f64); else O(halo) ppermute ring when
+            banded; else all_gather."""
+            if lvl == 0 and fine_bsr is not None:
+                h, nl, ne = fine_bsr
+                if df64:
+                    return halo_spmv_bsr_df64_local(
+                        h, nl, ne, L["bc"], L["bh"], L["blo"], x_l)
+                return halo_spmv_bsr_local(
+                    h, nl, ne, L["bc"], L["bh"], x_l).astype(dt)
             if halos[lvl] is not None:
                 return halo_spmv_local(halos[lvl], L["av"], L["ac"], x_l)
             return matvec(L["av"], L["ac"], x_l)
@@ -258,7 +313,8 @@ class DistributedAmg(_DistAmgBase):
         cycles_c, rtol_c, maxiter_c = self.cycles, self.rtol, self.maxiter
 
         @partial(shard_map, mesh=self.mesh, in_specs=spec,
-                 out_specs=(P(ROWS), P(), P(), P()))
+                 out_specs=(P(ROWS), P(), P(), P()),
+                 check_vma=self._check_vma)
         def _run(levels, coarse_L, b_l):
             fine = levels[0]
             bb = jax.lax.psum(jnp.vdot(b_l, b_l), ROWS)
@@ -296,7 +352,8 @@ class DistributedAmg(_DistAmgBase):
         return SolveResult(x=x_host, iters=int(iters), relres=relres,
                            converged=conv,
                            extra={"levels": self.n_levels,
-                                  "n_devices": self.n_dev})
+                                  "n_devices": self.n_dev,
+                                  "local_spmv": self.local_spmv})
 
     def solve_fn(self):
         lv, cl, pad = self._levels_dev, self._coarse_L, self._pad_b
@@ -323,7 +380,8 @@ class DistributedAmgCg(_DistAmgBase):
         rtol_c, maxiter_c = self.rtol, self.maxiter
 
         @partial(shard_map, mesh=self.mesh, in_specs=spec,
-                 out_specs=(P(ROWS), P(), P()))
+                 out_specs=(P(ROWS), P(), P()),
+                 check_vma=self._check_vma)
         def _cg(levels, coarse_L, b_l):
             fine = levels[0]
 
@@ -376,7 +434,8 @@ class DistributedAmgCg(_DistAmgBase):
         return SolveResult(x=x_host, iters=int(iters), relres=relres,
                            converged=relres <= self.rtol,
                            extra={"levels": self.n_levels,
-                                  "n_devices": self.n_dev})
+                                  "n_devices": self.n_dev,
+                                  "local_spmv": self.local_spmv})
 
     def solve_fn(self):
         lv, cl, pad = self._levels_dev, self._coarse_L, self._pad_b

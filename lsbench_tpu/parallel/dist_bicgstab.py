@@ -18,8 +18,7 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from lsbench_tpu.matrix.csr import CsrMatrix
-from lsbench_tpu.parallel.dist_cg import _force_global_cols
-from lsbench_tpu.parallel.dist_spmv import build_halo_plan, halo_spmv_local
+from lsbench_tpu.parallel.dist_spmv import build_dist_matvec
 from lsbench_tpu.parallel.mesh import ROWS
 from lsbench_tpu.solvers.base import SolveResult, Solver
 
@@ -30,33 +29,23 @@ class DistributedBicgstab(Solver):
 
     def __init__(self, A: CsrMatrix, mesh: Mesh, dtype=jnp.float64,
                  rtol=1e-4, maxiter=None, strategy="auto",
-                 row_align: int = 8, **params):
+                 row_align: int = 8, local_spmv: str = "auto", **params):
         super().__init__(A, **params)
         self.mesh = mesh
         self.dtype = jnp.dtype(dtype)
         self.rtol = float(rtol)
         self.maxiter = (int(maxiter) if maxiter is not None
                         else max(10 * A.nrows, 1000))
-        n_dev = mesh.devices.size
 
-        plan = build_halo_plan(A, n_dev, self.dtype, row_align=row_align)
-        if strategy == "auto":
-            strategy = "all_gather" if plan.needs_all_gather else "halo"
-        if strategy == "halo" and plan.needs_all_gather:
-            raise ValueError(
-                f"halo strategy impossible: halo {plan.halo} exceeds block "
-                f"size {plan.nloc}; use all_gather (or reorder with RCM)")
-        if strategy == "all_gather" and not plan.needs_all_gather:
-            plan = _force_global_cols(A, plan)
-        self.strategy = strategy
+        dm = build_dist_matvec(A, mesh, self.dtype, strategy=strategy,
+                               local_spmv=local_spmv, row_align=row_align)
+        self.strategy = dm.strategy
+        self.local_spmv = dm.local_spmv
         self.n = A.nrows
-        self.n_pad = plan.n_pad
+        self.n_pad = dm.n_pad
 
-        row_shard = NamedSharding(mesh, P(ROWS, None))
         vec_shard = NamedSharding(mesh, P(ROWS))
         self.vec_shard = vec_shard
-        vals = jax.device_put(plan.vals, row_shard)
-        cols = jax.device_put(plan.cols, row_shard)
         d = np.ones(self.n_pad)
         diag = A.diagonal()
         d[: self.n] = np.where(diag != 0.0, diag, 1.0)
@@ -65,20 +54,17 @@ class DistributedBicgstab(Solver):
 
         rtol_c, maxiter_c = self.rtol, self.maxiter
         dt = self.dtype
-        halo = plan.halo
-        use_halo = strategy == "halo"
+        local_matvec = dm.matvec
 
         @partial(shard_map, mesh=mesh,
-                 in_specs=(P(ROWS, None), P(ROWS, None), P(ROWS), P(ROWS)),
-                 out_specs=(P(ROWS), P(), P(), P()))
-        def _run(vals_l, cols_l, inv_diag_l, b_l):
-            if use_halo:
-                def matvec(p_l):
-                    return halo_spmv_local(halo, vals_l, cols_l, p_l)
-            else:
-                def matvec(p_l):
-                    p_full = jax.lax.all_gather(p_l, ROWS, tiled=True)
-                    return jnp.sum(vals_l * p_full[cols_l], axis=1)
+                 in_specs=(*dm.op_specs, P(ROWS), P(ROWS)),
+                 out_specs=(P(ROWS), P(), P(), P()),
+                 check_vma=dm.check_vma)
+        def _run(*args):
+            *op_l, inv_diag_l, b_l = args
+
+            def matvec(p_l):
+                return local_matvec(tuple(op_l), p_l)
 
             def fused_psum(*scalars):
                 s = jax.lax.psum(jnp.stack(scalars), ROWS)
@@ -118,7 +104,7 @@ class DistributedBicgstab(Solver):
                 cond, body, init)
             return x, jnp.sqrt(rr), jnp.sqrt(r0n2), it
 
-        self._args = (vals, cols, inv_diag)
+        self._args = (*dm.op_args, inv_diag)
         self._jit = jax.jit(_run)
 
     def _pad_b(self, b):
@@ -132,7 +118,9 @@ class DistributedBicgstab(Solver):
         relres = rnorm / bnorm if bnorm > 0 else 0.0
         return SolveResult(x=np.asarray(x)[: self.n], iters=int(iters),
                            relres=relres,
-                           converged=relres <= self.rtol or bnorm == 0.0)
+                           converged=relres <= self.rtol or bnorm == 0.0,
+                           extra={"strategy": self.strategy,
+                                  "local_spmv": self.local_spmv})
 
     def solve_fn(self):
         args, jit, pad = self._args, self._jit, self._pad_b

@@ -24,9 +24,13 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from lsbench_tpu.matrix.csr import CsrMatrix
-from lsbench_tpu.parallel.dist_spmv import build_halo_plan, halo_spmv_local
+from lsbench_tpu.parallel.dist_spmv import (build_dist_matvec,
+                                            force_global_cols)
 from lsbench_tpu.parallel.mesh import ROWS
 from lsbench_tpu.solvers.base import SolveResult, Solver
+
+# Back-compat name (dist_gmres/dist_bicgstab used to import it from here).
+_force_global_cols = force_global_cols
 
 
 class DistributedCg(Solver):
@@ -45,67 +49,21 @@ class DistributedCg(Solver):
         self.maxiter = int(maxiter) if maxiter is not None else max(10 * A.nrows, 1000)
         n_dev = mesh.devices.size
 
-        plan = build_halo_plan(A, n_dev, self.dtype, row_align=row_align)
-        if strategy == "auto":
-            strategy = "all_gather" if plan.needs_all_gather else "halo"
-        if strategy == "halo" and plan.needs_all_gather:
-            raise ValueError(
-                f"halo strategy impossible: halo {plan.halo} exceeds block "
-                f"size {plan.nloc}; use all_gather (or reorder with RCM)")
-        if strategy == "all_gather" and not plan.needs_all_gather:
-            # Plan stored halo-local columns; rebuild with global columns.
-            plan = _force_global_cols(A, plan)
-        self.strategy = strategy
-        self.plan = plan
+        dm = build_dist_matvec(A, mesh, self.dtype, strategy=strategy,
+                               local_spmv=local_spmv, row_align=row_align)
+        self.strategy = dm.strategy
+        self.plan = dm.plan
+        self.bsr_plan = dm.bsr_plan
+        self.local_spmv = dm.local_spmv
         self.n = A.nrows
-        self.n_pad = plan.n_pad
-
-        # Local-SpMV backend: "bsr" runs the flagship Pallas BSR kernel
-        # (f32, or double-float for f64 — ops/spmv_pallas.py) inside
-        # shard_map after the halo exchange; "ell" is the jnp gather path
-        # (any backend, the CPU fallback). "auto": Pallas on TPU whenever
-        # the halo strategy holds (the gather path costs ~20 ns/nnz on
-        # TPU — VERDICT r1 item 2).
-        if local_spmv == "auto":
-            use_bsr = (strategy == "halo"
-                       and jax.default_backend() == "tpu")
-        elif local_spmv == "bsr":
-            if strategy != "halo":
-                raise ValueError("local_spmv='bsr' requires the halo "
-                                 "strategy (banded matrix; try RCM)")
-            use_bsr = True
-        elif local_spmv == "ell":
-            use_bsr = False
-        else:
-            raise ValueError(f"unknown local_spmv '{local_spmv}' "
-                             "(auto | bsr | ell)")
-        self.local_spmv = "bsr" if use_bsr else "ell"
+        self.n_pad = dm.n_pad
+        plan = dm.plan
+        use_bsr = dm.local_spmv == "bsr"
+        op_args, op_specs = dm.op_args, dm.op_specs
 
         row_shard = NamedSharding(mesh, P(ROWS, None))
         vec_shard = NamedSharding(mesh, P(ROWS))
         self.vec_shard = vec_shard
-
-        if use_bsr:
-            from lsbench_tpu.parallel.dist_spmv import build_halo_bsr_plan
-            bsr_plan = build_halo_bsr_plan(A, n_dev, self.dtype,
-                                           row_align=row_align)
-            self.bsr_plan = bsr_plan
-            df64 = self.dtype == jnp.dtype(jnp.float64)
-            blk_shard = NamedSharding(mesh, P(ROWS, None, None, None))
-            if df64:
-                op_args = (jax.device_put(bsr_plan.bcols, row_shard),
-                           jax.device_put(bsr_plan.blocks_hi, blk_shard),
-                           jax.device_put(bsr_plan.blocks_lo, blk_shard))
-                op_specs = (P(ROWS, None), P(ROWS, None, None, None),
-                            P(ROWS, None, None, None))
-            else:
-                op_args = (jax.device_put(bsr_plan.bcols, row_shard),
-                           jax.device_put(bsr_plan.blocks_hi, blk_shard))
-                op_specs = (P(ROWS, None), P(ROWS, None, None, None))
-        else:
-            op_args = (jax.device_put(plan.vals, row_shard),
-                       jax.device_put(plan.cols, row_shard))
-            op_specs = (P(ROWS, None), P(ROWS, None))
 
         # Preconditioner, padded+sharded. "jacobi": pointwise 1/diag.
         # "block_jacobi": dense diagonal blocks inverted at setup — blocks
@@ -147,16 +105,14 @@ class DistributedCg(Solver):
                              " (jacobi | block_jacobi)")
 
         rtol_c, maxiter_c = self.rtol, self.maxiter
-        halo = plan.halo
-        use_halo = strategy == "halo"
-        cg_dtype = self.dtype
+        local_matvec = dm.matvec
 
         # check_vma off on the BSR path: pallas_call's out_shape carries no
         # varying-mesh-axes annotation, which shard_map's checker rejects.
         @partial(shard_map, mesh=mesh,
                  in_specs=(*op_specs, pspec, P(ROWS)),
                  out_specs=(P(ROWS), P(), P()),
-                 check_vma=not use_bsr)
+                 check_vma=dm.check_vma)
         def _cg(*args):
             *op_l, inv_diag_l, b_l = args
 
@@ -164,27 +120,8 @@ class DistributedCg(Solver):
                 s = jax.lax.psum(jnp.stack(scalars), ROWS)
                 return tuple(s[i] for i in range(len(scalars)))
 
-            if use_bsr:
-                from lsbench_tpu.parallel.dist_spmv import (
-                    halo_spmv_bsr_df64_local, halo_spmv_bsr_local)
-                bp = self.bsr_plan
-
-                def matvec(p_l):
-                    if cg_dtype == jnp.dtype(jnp.float64):
-                        return halo_spmv_bsr_df64_local(
-                            bp.halo, bp.nloc, bp.n_ext, *op_l, p_l)
-                    return halo_spmv_bsr_local(
-                        bp.halo, bp.nloc, bp.n_ext, *op_l, p_l
-                    ).astype(cg_dtype)
-            elif use_halo:
-                def matvec(p_l):
-                    vals_l, cols_l = op_l
-                    return halo_spmv_local(halo, vals_l, cols_l, p_l)
-            else:
-                def matvec(p_l):
-                    vals_l, cols_l = op_l
-                    p_full = jax.lax.all_gather(p_l, ROWS, tiled=True)
-                    return jnp.sum(vals_l * p_full[cols_l], axis=1)
+            def matvec(p_l):
+                return local_matvec(tuple(op_l), p_l)
 
             (bb,) = fused_psum(jnp.vdot(b_l, b_l))
             tol2 = (rtol_c ** 2) * bb
@@ -246,14 +183,3 @@ class DistributedCg(Solver):
         return lambda b: jit_cg(*op_args, inv_diag, pad(b))[0]
 
 
-def _force_global_cols(A: CsrMatrix, plan):
-    """Rebuild the plan's column ids as global indices (all_gather path)."""
-    from dataclasses import replace
-
-    counts = np.diff(A.offs)
-    k = plan.vals.shape[1]
-    cols = np.zeros((plan.n_pad, k), dtype=np.int32)
-    rows_idx = A.row_indices()
-    slot = np.arange(A.nnz) - A.offs[rows_idx]
-    cols[rows_idx, slot] = A.cols
-    return replace(plan, cols=jnp.asarray(cols), needs_all_gather=True)

@@ -22,8 +22,7 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from lsbench_tpu.matrix.csr import CsrMatrix
-from lsbench_tpu.parallel.dist_cg import _force_global_cols
-from lsbench_tpu.parallel.dist_spmv import build_halo_plan, halo_spmv_local
+from lsbench_tpu.parallel.dist_spmv import build_dist_matvec
 from lsbench_tpu.parallel.mesh import ROWS
 from lsbench_tpu.solvers.base import SolveResult, Solver
 
@@ -34,7 +33,7 @@ class DistributedGmres(Solver):
 
     def __init__(self, A: CsrMatrix, mesh: Mesh, dtype=jnp.float64,
                  rtol=1e-8, maxiter=None, restart=30, strategy="auto",
-                 row_align: int = 8, **params):
+                 row_align: int = 8, local_spmv: str = "auto", **params):
         super().__init__(A, **params)
         self.mesh = mesh
         self.dtype = jnp.dtype(dtype)
@@ -43,26 +42,16 @@ class DistributedGmres(Solver):
         maxiter = (int(maxiter) if maxiter is not None
                    else max(10 * A.nrows, 1000))
         self.max_restarts = max(1, -(-maxiter // self.restart))
-        n_dev = mesh.devices.size
 
-        plan = build_halo_plan(A, n_dev, self.dtype, row_align=row_align)
-        if strategy == "auto":
-            strategy = "all_gather" if plan.needs_all_gather else "halo"
-        if strategy == "halo" and plan.needs_all_gather:
-            raise ValueError(
-                f"halo strategy impossible: halo {plan.halo} exceeds block "
-                f"size {plan.nloc}; use all_gather (or reorder with RCM)")
-        if strategy == "all_gather" and not plan.needs_all_gather:
-            plan = _force_global_cols(A, plan)
-        self.strategy = strategy
+        dm = build_dist_matvec(A, mesh, self.dtype, strategy=strategy,
+                               local_spmv=local_spmv, row_align=row_align)
+        self.strategy = dm.strategy
+        self.local_spmv = dm.local_spmv
         self.n = A.nrows
-        self.n_pad = plan.n_pad
+        self.n_pad = dm.n_pad
 
-        row_shard = NamedSharding(mesh, P(ROWS, None))
         vec_shard = NamedSharding(mesh, P(ROWS))
         self.vec_shard = vec_shard
-        vals = jax.device_put(plan.vals, row_shard)
-        cols = jax.device_put(plan.cols, row_shard)
 
         d = np.ones(self.n_pad)
         diag = A.diagonal()
@@ -73,22 +62,18 @@ class DistributedGmres(Solver):
         rtol_c, mr, m = self.rtol, self.max_restarts, self.restart
         dt = self.dtype
         eps_break = 1e-30
-        halo = plan.halo
-        use_halo = strategy == "halo"
+        local_matvec = dm.matvec
 
         @partial(shard_map, mesh=mesh,
-                 in_specs=(P(ROWS, None), P(ROWS, None), P(ROWS), P(ROWS)),
-                 out_specs=(P(ROWS), P(), P(), P()))
-        def _gmres(vals_l, cols_l, inv_diag_l, b_l):
+                 in_specs=(*dm.op_specs, P(ROWS), P(ROWS)),
+                 out_specs=(P(ROWS), P(), P(), P()),
+                 check_vma=dm.check_vma)
+        def _gmres(*args):
+            *op_l, inv_diag_l, b_l = args
             nloc = b_l.shape[0]
 
-            if use_halo:
-                def matvec(p_l):
-                    return halo_spmv_local(halo, vals_l, cols_l, p_l)
-            else:
-                def matvec(p_l):
-                    p_full = jax.lax.all_gather(p_l, ROWS, tiled=True)
-                    return jnp.sum(vals_l * p_full[cols_l], axis=1)
+            def matvec(p_l):
+                return local_matvec(tuple(op_l), p_l)
 
             def precond(r_l):
                 return inv_diag_l * r_l
@@ -145,7 +130,7 @@ class DistributedGmres(Solver):
                 cond, body, (x0, bnorm, jnp.int32(0)))
             return x, restarts * m, rnorm, bnorm
 
-        self._vals, self._cols, self._inv_diag = vals, cols, inv_diag
+        self._op_args, self._inv_diag = dm.op_args, inv_diag
         self._jit = jax.jit(_gmres)
 
     def _pad_b(self, b):
@@ -154,15 +139,17 @@ class DistributedGmres(Solver):
         return jax.device_put(bp, self.vec_shard)
 
     def solve(self, b) -> SolveResult:
-        x, iters, rnorm, bnorm = self._jit(self._vals, self._cols,
+        x, iters, rnorm, bnorm = self._jit(*self._op_args,
                                            self._inv_diag, self._pad_b(b))
         rnorm, bnorm = float(rnorm), float(bnorm)
         relres = rnorm / bnorm if bnorm > 0 else 0.0
         return SolveResult(x=np.asarray(x)[: self.n], iters=int(iters),
                            relres=relres,
-                           converged=relres <= self.rtol or bnorm == 0.0)
+                           converged=relres <= self.rtol or bnorm == 0.0,
+                           extra={"strategy": self.strategy,
+                                  "local_spmv": self.local_spmv})
 
     def solve_fn(self):
-        args = (self._vals, self._cols, self._inv_diag)
+        args = (*self._op_args, self._inv_diag)
         jit, pad = self._jit, self._pad_b
         return lambda b: jit(*args, pad(b))[0]

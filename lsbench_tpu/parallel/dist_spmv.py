@@ -227,6 +227,123 @@ def halo_spmv_bsr_df64_local(halo: int, nloc: int, n_ext: int,
     return y.reshape(-1)[:nloc]
 
 
+def force_global_cols(A: CsrMatrix, plan: HaloSpmvPlan) -> HaloSpmvPlan:
+    """Rebuild the plan's column ids as global indices (all_gather path)."""
+    from dataclasses import replace
+
+    k = plan.vals.shape[1]
+    cols = np.zeros((plan.n_pad, k), dtype=np.int32)
+    rows_idx = A.row_indices()
+    slot = np.arange(A.nnz) - A.offs[rows_idx]
+    cols[rows_idx, slot] = A.cols
+    return replace(plan, cols=jnp.asarray(cols), needs_all_gather=True)
+
+
+@dataclass
+class DistMatvec:
+    """Sharded operator + in-shard matvec, shared by every distributed
+    solver (dist_cg / dist_gmres / dist_bicgstab / dist_amg fine level).
+
+    `matvec(op_l, x_l)` is valid only inside shard_map over the ROWS axis:
+    op_l is this device's shard of `op_args` (same order as `op_specs`),
+    x_l the (nloc,) local x. Output is (nloc,) in the requested dtype.
+    """
+    op_args: tuple
+    op_specs: tuple
+    matvec: object          # callable (op_l: tuple, x_l) -> y_l
+    strategy: str           # "halo" | "all_gather"
+    local_spmv: str         # "bsr" | "ell"
+    halo: int
+    nloc: int
+    n_pad: int
+    n: int
+    check_vma: bool         # False on the BSR path (pallas_call lacks VMA)
+    plan: HaloSpmvPlan
+    bsr_plan: HaloBsrPlan | None
+
+
+def build_dist_matvec(A: CsrMatrix, mesh, dtype, strategy: str = "auto",
+                      local_spmv: str = "auto",
+                      row_align: int = 8) -> DistMatvec:
+    """Resolve (strategy, local_spmv) and build the sharded operator.
+
+    local_spmv: "bsr" runs the flagship Pallas BSR kernel (f32, or
+    double-float for f64 — ops/spmv_pallas.py) inside shard_map after the
+    halo exchange; "ell" is the jnp gather path (any backend, the CPU
+    fallback). "auto": Pallas on TPU whenever the halo strategy holds
+    (the gather path costs ~20 ns/nnz on TPU — VERDICT r1 item 2).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    dtype = jnp.dtype(dtype)
+    n_dev = mesh.devices.size
+    plan = build_halo_plan(A, n_dev, dtype, row_align=row_align)
+    if strategy == "auto":
+        strategy = "all_gather" if plan.needs_all_gather else "halo"
+    if strategy == "halo" and plan.needs_all_gather:
+        raise ValueError(
+            f"halo strategy impossible: halo {plan.halo} exceeds block "
+            f"size {plan.nloc}; use all_gather (or reorder with RCM)")
+    if strategy == "all_gather" and not plan.needs_all_gather:
+        plan = force_global_cols(A, plan)
+
+    if local_spmv == "auto":
+        use_bsr = strategy == "halo" and jax.default_backend() == "tpu"
+    elif local_spmv == "bsr":
+        if strategy != "halo":
+            raise ValueError("local_spmv='bsr' requires the halo strategy "
+                             "(banded matrix; try RCM)")
+        use_bsr = True
+    elif local_spmv == "ell":
+        use_bsr = False
+    else:
+        raise ValueError(f"unknown local_spmv '{local_spmv}' "
+                         "(auto | bsr | ell)")
+
+    row_shard = NamedSharding(mesh, P(ROWS, None))
+    bsr_plan = None
+    if use_bsr:
+        bsr_plan = build_halo_bsr_plan(A, n_dev, dtype, row_align=row_align)
+        blk_shard = NamedSharding(mesh, P(ROWS, None, None, None))
+        h, nl, ne = bsr_plan.halo, bsr_plan.nloc, bsr_plan.n_ext
+        if dtype == jnp.dtype(jnp.float64):
+            op_args = (jax.device_put(bsr_plan.bcols, row_shard),
+                       jax.device_put(bsr_plan.blocks_hi, blk_shard),
+                       jax.device_put(bsr_plan.blocks_lo, blk_shard))
+            op_specs = (P(ROWS, None), P(ROWS, None, None, None),
+                        P(ROWS, None, None, None))
+
+            def matvec(op_l, x_l):
+                return halo_spmv_bsr_df64_local(h, nl, ne, *op_l, x_l)
+        else:
+            op_args = (jax.device_put(bsr_plan.bcols, row_shard),
+                       jax.device_put(bsr_plan.blocks_hi, blk_shard))
+            op_specs = (P(ROWS, None), P(ROWS, None, None, None))
+
+            def matvec(op_l, x_l):
+                return halo_spmv_bsr_local(h, nl, ne, *op_l,
+                                           x_l).astype(dtype)
+    else:
+        op_args = (jax.device_put(plan.vals, row_shard),
+                   jax.device_put(plan.cols, row_shard))
+        op_specs = (P(ROWS, None), P(ROWS, None))
+        if strategy == "halo":
+            H = plan.halo
+
+            def matvec(op_l, x_l):
+                return halo_spmv_local(H, op_l[0], op_l[1], x_l)
+        else:
+            def matvec(op_l, x_l):
+                full = jax.lax.all_gather(x_l, ROWS, tiled=True)
+                return jnp.sum(op_l[0] * full[op_l[1]], axis=1)
+
+    return DistMatvec(
+        op_args=op_args, op_specs=op_specs, matvec=matvec,
+        strategy=strategy, local_spmv="bsr" if use_bsr else "ell",
+        halo=plan.halo, nloc=plan.nloc, n_pad=plan.n_pad, n=plan.n,
+        check_vma=not use_bsr, plan=plan, bsr_plan=bsr_plan)
+
+
 def halo_spmv_local(plan_halo: int, vals_l, cols_l, x_l):
     """Inside shard_map: exchange halos with ring neighbors, then local SpMV.
 

@@ -39,12 +39,37 @@ def run_dryrun(n_devices: int) -> None:
 
     # Pallas-BSR local SpMV inside shard_map (interpret mode off-TPU —
     # same plan build, halo renumbering, and shard_map plumbing as ICI).
+    # dtype=f64 exercises the double-float BSR shard path.
     bsr_cg = DistributedCg(A, mesh, dtype=jnp.float64, rtol=1e-10,
                            local_spmv="bsr")
     res_b = bsr_cg.solve(b)
     xb = np.asarray(res_b.x)
     rb = np.linalg.norm(b - A.matvec(xb)) / np.linalg.norm(b)
     assert res_b.converged and rb < 1e-8, (res_b.iters, res_b.relres, rb)
+
+    # Distributed GMRES + BiCGSTAB, both on the Pallas-BSR local SpMV.
+    from lsbench_tpu.parallel.dist_bicgstab import DistributedBicgstab
+    from lsbench_tpu.parallel.dist_gmres import DistributedGmres
+    res_g = DistributedGmres(A, mesh, dtype=jnp.float64, rtol=1e-8,
+                             restart=20, local_spmv="bsr").solve(b)
+    xg = np.asarray(res_g.x)
+    rg = np.linalg.norm(b - A.matvec(xg)) / np.linalg.norm(b)
+    assert res_g.converged and rg < 1e-6, (res_g.iters, res_g.relres, rg)
+    res_s = DistributedBicgstab(A, mesh, dtype=jnp.float64, rtol=1e-6,
+                                local_spmv="bsr").solve(b)
+    xs = np.asarray(res_s.x)
+    rs = np.linalg.norm(b - A.matvec(xs)) / np.linalg.norm(b)
+    assert res_s.converged and rs < 1e-4, (res_s.iters, res_s.relres, rs)
+
+    # Standalone DistributedAmg fixed-cycle (hypre maxiter=2 protocol),
+    # fine-level Pallas BSR matvec.
+    from lsbench_tpu.parallel.dist_amg import DistributedAmg
+    amg_fixed = DistributedAmg(A, mesh, dtype=jnp.float64, cycles=2,
+                               coarse_n=16, max_levels=3, local_spmv="bsr")
+    res_f = amg_fixed.solve(b)
+    assert res_f.iters == 2 and np.isfinite(res_f.relres), (
+        res_f.iters, res_f.relres)
+    assert amg_fixed.local_spmv == "bsr"
 
     # 2-D block partition (all_gather over rows + psum_scatter over cols).
     if n_devices % 2 == 0 and n_devices >= 4:

@@ -122,3 +122,69 @@ def test_bsr_requires_halo():
     mesh = make_row_mesh()
     with pytest.raises(ValueError, match="halo|bsr"):
         DistributedCg(A, mesh, local_spmv="bsr")
+
+
+def test_dist_gmres_bsr_matches_ell():
+    """VERDICT r2 item 2: the Pallas BSR local SpMV inside DistributedGmres
+    must agree with the ELL gather path (same mesh, same rtol)."""
+    from lsbench_tpu.parallel.dist_gmres import DistributedGmres
+    A = poisson_2d(24)
+    mesh = make_row_mesh()
+    b = np.arange(A.nrows, dtype=np.float64)
+    r_ell = DistributedGmres(A, mesh, rtol=1e-9, restart=25,
+                             local_spmv="ell").solve(b)
+    r_bsr = DistributedGmres(A, mesh, rtol=1e-9, restart=25,
+                             local_spmv="bsr").solve(b)
+    assert r_ell.converged and r_bsr.converged
+    assert r_bsr.extra["local_spmv"] == "bsr"
+    np.testing.assert_allclose(np.asarray(r_bsr.x), np.asarray(r_ell.x),
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_dist_bicgstab_bsr_matches_ell():
+    from lsbench_tpu.parallel.dist_bicgstab import DistributedBicgstab
+    A = poisson_2d(24)
+    mesh = make_row_mesh()
+    b = np.arange(A.nrows, dtype=np.float64)
+    r_ell = DistributedBicgstab(A, mesh, rtol=1e-8,
+                                local_spmv="ell").solve(b)
+    r_bsr = DistributedBicgstab(A, mesh, rtol=1e-8,
+                                local_spmv="bsr").solve(b)
+    assert r_ell.converged and r_bsr.converged
+    assert r_bsr.extra["local_spmv"] == "bsr"
+    rb = np.linalg.norm(b - A.matvec(np.asarray(r_bsr.x))) / np.linalg.norm(b)
+    assert rb < 1e-7
+
+
+def test_dist_amg_cg_fine_bsr_matches_ell():
+    """Fine-level Pallas BSR matvec inside the distributed V-cycle: same
+    x AND same iteration count as the ELL path (the matvec is exact)."""
+    from lsbench_tpu.parallel.dist_amg import DistributedAmgCg
+    A = poisson_2d(24)
+    mesh = make_row_mesh()
+    b = np.arange(A.nrows, dtype=np.float64)
+    kw = dict(rtol=1e-10, coarse_n=16, max_levels=3)
+    r_ell = DistributedAmgCg(A, mesh, local_spmv="ell", **kw).solve(b)
+    r_bsr = DistributedAmgCg(A, mesh, local_spmv="bsr", **kw).solve(b)
+    assert r_ell.converged and r_bsr.converged
+    assert r_bsr.extra["local_spmv"] == "bsr"
+    # df64 local SpMV vs f64 gather: same operator to ~2^-49; iteration
+    # trajectories may differ by at most roundoff — allow ±2 iters.
+    assert abs(r_bsr.iters - r_ell.iters) <= 2, (r_bsr.iters, r_ell.iters)
+    rb = np.linalg.norm(b - A.matvec(np.asarray(r_bsr.x))) / np.linalg.norm(b)
+    assert rb < 1e-9
+
+
+def test_dist_amg_fixed_cycle_fine_bsr():
+    from lsbench_tpu.parallel.dist_amg import DistributedAmg
+    A = poisson_2d(24)
+    mesh = make_row_mesh()
+    b = np.arange(A.nrows, dtype=np.float64)
+    kw = dict(cycles=2, coarse_n=16, max_levels=3)
+    r_ell = DistributedAmg(A, mesh, local_spmv="ell", **kw).solve(b)
+    r_bsr = DistributedAmg(A, mesh, local_spmv="bsr", **kw).solve(b)
+    assert r_bsr.extra["local_spmv"] == "bsr"
+    assert r_bsr.iters == 2
+    # Same 2-cycle product to df64 accuracy.
+    np.testing.assert_allclose(np.asarray(r_bsr.x), np.asarray(r_ell.x),
+                               rtol=1e-9, atol=1e-11)
