@@ -91,9 +91,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "hierarchies) keyed by matrix hash")
     p.add_argument("--cache-dir", default=None,
                    help="setup-cache directory (default ~/.cache/lsbench_tpu)")
-    p.add_argument("--devices", type=int, default=1,
+    p.add_argument("--devices", type=int, default=None,
                    help="run the solve block-row-sharded over N devices "
-                        "(cg / amg / hypre / amgx / paralmond; use "
+                        "(cg / cg_ir / gmres / ginkgo / amg / hypre / amgx "
+                        "/ paralmond). --devices 1 runs the full "
+                        "shard_map/halo/Pallas-BSR plumbing on a 1-device "
+                        "mesh; omit for the single-chip kernels. Use "
                         "XLA_FLAGS=--xla_force_host_platform_device_count=N "
                         "with --platform cpu to simulate)")
     p.add_argument("--coordinator", default=None, metavar="HOST:PORT",
@@ -270,7 +273,7 @@ def main(argv=None) -> int:
     backend_init_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    if args.devices > 1:
+    if args.devices is not None:
         solver = _make_distributed(solver_name, A, args, params)
         if solver is None:
             return 1
@@ -337,8 +340,10 @@ def _make_distributed(solver_name: str, A, args, params):
     if args.maxiter is not None:
         kw["maxiter"] = args.maxiter
     dtype = params.get("dtype", "float64")
-    if dtype == "mixed":
-        print("--devices: fp32_ir is single-chip only; use fp64/fp32.",
+    mixed = dtype == "mixed"
+    if mixed and solver_name not in ("cg", "cg_ir"):
+        print("--devices: fp32_ir over a mesh is implemented for the cg "
+              "family (dist_cg_ir); use fp64/fp32 for other solvers.",
               file=sys.stderr)
         return None
 
@@ -371,8 +376,12 @@ def _make_distributed(solver_name: str, A, args, params):
     amg_like = {"amg", "hypre", "amgx", "paralmond"}
     if solver_name in amg_like:
         from lsbench_tpu.parallel.dist_amg import DistributedAmg
-        for k in ("cycles", "coarsening", "theta", "cycle"):
-            if k in params and k != "cycle":  # K-cycle is single-chip only
+        # Full alias preset pass-through so `--solver hypre --devices N`
+        # builds the SAME hierarchy as the single-chip alias ("cycle" is
+        # excluded: the K-cycle's FCG recursion is single-chip only).
+        for k in ("cycles", "coarsening", "theta", "interp", "smoother",
+                  "degree", "pre_sweeps", "post_sweeps"):
+            if k in params:
                 kw[k] = params[k]
         return DistributedAmg(A, mesh, dtype=dtype, **kw)
     if solver_name in ("cg", "cg_ir") and args.precond in ("amg",
@@ -381,12 +390,19 @@ def _make_distributed(solver_name: str, A, args, params):
         if args.precond == "amg_classical":
             kw.update(coarsening="classical", theta=0.25)
         return DistributedAmgCg(A, mesh, dtype=dtype, **kw)
+    kw["ordering"] = params.get("ordering", "none")
     if solver_name in ("bicgstab", "ginkgo"):
         from lsbench_tpu.parallel.dist_bicgstab import DistributedBicgstab
         if solver_name == "ginkgo":
             kw.setdefault("rtol", 1e-4)  # ginkgo.cpp:61
         return DistributedBicgstab(A, mesh, dtype=dtype, **kw)
-    if solver_name in ("cg", "cg_ir"):
+    if solver_name == "cg_ir" or (solver_name == "cg" and mixed):
+        # f32 inner distributed CG + double-float f64 refinement — the
+        # production fp64 mode over a mesh (parallel/dist_cg_ir.py).
+        from lsbench_tpu.parallel.dist_cg_ir import DistributedCgIr
+        kw.setdefault("rtol", 1e-10)
+        return DistributedCgIr(A, mesh, **kw)
+    if solver_name == "cg":
         from lsbench_tpu.parallel.dist_cg import DistributedCg
         return DistributedCg(A, mesh, dtype=dtype, **kw)
     if solver_name == "gmres":

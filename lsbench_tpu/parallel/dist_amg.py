@@ -65,9 +65,9 @@ class _DistAmgBase(Solver):
 
     def __init__(self, A: CsrMatrix, mesh: Mesh, dtype=jnp.float64,
                  theta=None, coarsening="sa", smoother="chebyshev", degree=2,
-                 pre_sweeps=1, post_sweeps=1, coarse_n=64, max_levels=12,
-                 jacobi_scale=4.0 / 3.0, cheby_lower=0.30, ordering="rcm",
-                 comm="auto", local_spmv="auto", **params):
+                 interp="direct", pre_sweeps=1, post_sweeps=1, coarse_n=64,
+                 max_levels=12, jacobi_scale=4.0 / 3.0, cheby_lower=0.30,
+                 ordering="rcm", comm="auto", local_spmv="auto", **params):
         super().__init__(A, **params)
         self.mesh = mesh
         self.dtype = jnp.dtype(dtype)
@@ -88,7 +88,7 @@ class _DistAmgBase(Solver):
         self._invperm = None if identity else inv
 
         opts = AmgOptions(theta=theta, coarsening=coarsening,
-                          smoother=smoother, degree=degree,
+                          smoother=smoother, degree=degree, interp=interp,
                           pre_sweeps=pre_sweeps, post_sweeps=post_sweeps,
                           coarse_n=coarse_n, max_levels=max_levels,
                           jacobi_scale=jacobi_scale, cheby_lower=cheby_lower,

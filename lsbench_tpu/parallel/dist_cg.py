@@ -41,8 +41,12 @@ class DistributedCg(Solver):
     def __init__(self, A: CsrMatrix, mesh: Mesh, dtype=jnp.float64,
                  rtol=1e-8, maxiter=None, strategy="auto", row_align: int = 8,
                  precond: str = "jacobi", block_size: int = 16,
-                 local_spmv: str = "auto", **params):
+                 local_spmv: str = "auto", ordering: str = "none", **params):
         super().__init__(A, **params)
+        # Host-side symmetric reordering (cusparse.c:66-96 role): densifies
+        # the band, shrinking both the halo and the Pallas BSR block count.
+        from lsbench_tpu.parallel.perm import resolve_dist_ordering
+        A, self._ord = resolve_dist_ordering(A, ordering)
         self.mesh = mesh
         self.dtype = jnp.dtype(dtype)
         self.rtol = float(rtol)
@@ -157,7 +161,7 @@ class DistributedCg(Solver):
         self._jit_cg = jax.jit(_cg)
 
     def _pad_b(self, b):
-        b = jnp.asarray(b, dtype=self.dtype)
+        b = jnp.asarray(self._ord.permute_b(b), dtype=self.dtype)
         if b.shape[0] != self.n:
             raise ValueError(f"b has {b.shape[0]} entries, expected {self.n}")
         bp = jnp.zeros(self.n_pad, dtype=self.dtype).at[: self.n].set(b)
@@ -169,7 +173,7 @@ class DistributedCg(Solver):
         relres = float(relres)
         # Slice padding off on host (x is row-sharded; device slicing across
         # shard boundaries would need a resharding collective).
-        x_host = np.asarray(x)[: self.n]
+        x_host = self._ord.unpermute_x(np.asarray(x)[: self.n])
         return SolveResult(x=x_host, iters=int(iters), relres=relres,
                            converged=relres <= self.rtol,
                            extra={"strategy": self.strategy,

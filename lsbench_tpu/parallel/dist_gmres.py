@@ -33,8 +33,11 @@ class DistributedGmres(Solver):
 
     def __init__(self, A: CsrMatrix, mesh: Mesh, dtype=jnp.float64,
                  rtol=1e-8, maxiter=None, restart=30, strategy="auto",
-                 row_align: int = 8, local_spmv: str = "auto", **params):
+                 row_align: int = 8, local_spmv: str = "auto",
+                 ordering: str = "none", **params):
         super().__init__(A, **params)
+        from lsbench_tpu.parallel.perm import resolve_dist_ordering
+        A, self._ord = resolve_dist_ordering(A, ordering)
         self.mesh = mesh
         self.dtype = jnp.dtype(dtype)
         self.rtol = float(rtol)
@@ -134,7 +137,7 @@ class DistributedGmres(Solver):
         self._jit = jax.jit(_gmres)
 
     def _pad_b(self, b):
-        b = jnp.asarray(b, dtype=self.dtype)
+        b = jnp.asarray(self._ord.permute_b(b), dtype=self.dtype)
         bp = jnp.zeros(self.n_pad, dtype=self.dtype).at[: self.n].set(b)
         return jax.device_put(bp, self.vec_shard)
 
@@ -143,7 +146,8 @@ class DistributedGmres(Solver):
                                            self._inv_diag, self._pad_b(b))
         rnorm, bnorm = float(rnorm), float(bnorm)
         relres = rnorm / bnorm if bnorm > 0 else 0.0
-        return SolveResult(x=np.asarray(x)[: self.n], iters=int(iters),
+        return SolveResult(x=self._ord.unpermute_x(np.asarray(x)[: self.n]),
+                           iters=int(iters),
                            relres=relres,
                            converged=relres <= self.rtol or bnorm == 0.0,
                            extra={"strategy": self.strategy,

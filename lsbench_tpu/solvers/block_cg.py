@@ -7,13 +7,28 @@ one SpMM (ops/spmv_pallas.py::spmm_bsr, an MXU dot_general per slot)
 does k× the numerical work for the SAME block traffic — effective nnz/s
 scales ~k× until the MXU becomes the bound.
 
-The iteration is simultaneous PCG: each column carries its own Krylov
-scalars (alpha_j, beta_j) — vectorized over columns with one fused SpMM
-per iteration — and converged columns are frozen with masked updates.
-(A true block-Krylov method sharing one subspace across columns would
-converge in fewer iterations on clustered RHS but needs per-iteration
-QR breakdown handling; the simultaneous form is exact per column and
-keeps the hot loop at one SpMM + two column-reductions.)
+Two inner iterations are provided:
+
+- method="shared" (default): TRUE block CG — all k columns share one
+  block-Krylov subspace that grows k vectors per iteration, so the
+  iteration count approaches the single-RHS count instead of k× it.
+  The variant is BCGrQ (Dubrulle's retooled block CG: the residual
+  block is kept QR-factored, R = Q·rho with Q orthonormal), which is
+  the numerically stable form — plain O'Leary block CG breaks down in
+  f32 when direction columns become linearly dependent. Orthonormal-
+  ization is two-pass CholQR (two k×k Gram matmuls + triangular
+  solves — MXU-shaped, no Householder loops), with a trace-scaled
+  diagonal shift so rank collapse (converged/parallel columns) yields
+  fresh orthonormal directions instead of NaNs — the breakdown-free
+  behavior. Preconditioning is split Jacobi (A → S·A·S with
+  S = diag(d)^{-1/2}), which preserves the orthonormal-residual
+  invariant the recurrence relies on.
+
+- method="simultaneous": k independent PCG recurrences vectorized over
+  columns (one fused SpMM per iteration, per-column alpha/beta,
+  converged columns frozen by masking). Exact per column; used as the
+  fallback for non-diagonal preconditioners, where split
+  preconditioning is unavailable.
 
 Precision follows the library's flagship structure (solvers/refine.py):
 f32 inner block-CG + double-float f64 residual refinement per column,
@@ -36,6 +51,111 @@ from lsbench_tpu.solvers.base import SolveResult, Solver, register_solver
 def _cdots(u, v):
     """Per-column dot products: (n,k),(n,k) -> (k,)."""
     return jnp.einsum("nk,nk->k", u, v)
+
+
+def _cholqr2(Y, eps_rel=1e-6):
+    """Two-pass CholQR: Y = Q @ C with Q ~orthonormal (f32-stable).
+
+    One pass is a k×k Gram matmul + Cholesky + triangular solve (all
+    MXU/small ops — no Householder column loop, which XLA serializes);
+    the second pass squares away the first's rounding so Q is orthonormal
+    to f32 eps even when cond(Y) ~ 1e3. The trace-scaled shift keeps the
+    Cholesky alive under rank collapse (a converged column's residual
+    ~0): the shifted Gram is SPD, so the factor exists and the deficient
+    column comes back as SOME unit vector — a fresh search direction
+    rather than a breakdown (the Ji-Li breakdown-free behavior).
+    """
+    import jax.scipy.linalg as jsl
+
+    k = Y.shape[1]
+    eye = jnp.eye(k, dtype=Y.dtype)
+
+    def one_pass(Yc):
+        G = Yc.T @ Yc
+        shift = eps_rel * (jnp.trace(G) / k) + jnp.asarray(1e-30, Y.dtype)
+        C = jnp.linalg.cholesky(G + shift * eye).T  # upper: Yc = Q C
+        Cinv = jsl.solve_triangular(C, eye, lower=False)
+        return Yc @ Cinv, C
+
+    Q1, C1 = one_pass(Y)
+    Q2, C2 = one_pass(Q1)
+    return Q2, C2 @ C1
+
+
+def block_cg_shared_loop(matmat, ihalf, B, rtol, maxiter, dtype,
+                         qr="householder"):
+    """Jittable shared-subspace block CG (BCGrQ) with split Jacobi.
+
+    Solves A D = B for all columns in ONE block-Krylov space. matmat:
+    (n,k)->(n,k) SpMM for A; ihalf: (n,) = diag(A)^{-1/2} (ones for no
+    preconditioning). Internally iterates on the split-preconditioned
+    Ã = S A S (S = diag(ihalf)), whose residual block is kept factored
+    R̃ = Q·rho with Q orthonormal:
+
+        Z   = Ã D
+        xi  = (Dᵀ Z)⁺                       (eigh pseudo-inverse, k×k)
+        Y  += D (xi rho)
+        (Q, gamma) = qr(Q − Z xi)
+        rho = gamma rho
+        D   = Q + D gammaᵀ
+
+    Breakdown safety needs BOTH guards: the eigh-thresholded
+    pseudo-inverse for xi (a deficient direction would otherwise be
+    amplified by 1/shift ~ 1e7 in f32 — the Ji-Li breakdown-free
+    inverse), and an orthonormalization that stays orthonormal at rank
+    collapse. qr="householder" (default) uses jnp.linalg.qr, whose
+    reflector completion emits fresh UNIT directions for collapsed
+    columns — measured to converge through exact rank-1 RHS blocks.
+    qr="cholqr2" is the two-pass CholQR (pure GEMM + k×k Cholesky, no
+    Householder column loop) — faster per iteration but its shifted Gram
+    leaves collapsed columns at tiny norm, breaking the Q-orthonormal
+    invariant the recurrence relies on; only safe for well-conditioned
+    full-rank RHS blocks.
+
+    Per-column stopping on the columns of rho (||R̃ e_j|| = ||rho e_j||
+    exactly, Q orthonormal). Returns (X, block_iters, rnorm (k,),
+    bnorm (k,)) in the ORIGINAL (unscaled) variables; norms are of the
+    split-preconditioned residual, which the caller's outer f64
+    refinement re-checks in the true norm.
+    """
+    B = B.astype(dtype)
+    ihalf = ihalf.astype(dtype)
+    Bt = B * ihalf[:, None]
+    orthonormalize = (_cholqr2 if qr == "cholqr2"
+                      else lambda Y: jnp.linalg.qr(Y, mode="reduced"))
+    Q0, rho0 = orthonormalize(Bt)
+    bnorm2 = jnp.sum(rho0 * rho0, axis=0)
+    tol2 = (rtol ** 2) * bnorm2
+    k = B.shape[1]
+
+    def amat(D):
+        return matmat(D * ihalf[:, None]) * ihalf[:, None]
+
+    def cond(state):
+        _, _, _, rho, it = state
+        return jnp.logical_and(it < maxiter,
+                               jnp.any(jnp.sum(rho * rho, axis=0) > tol2))
+
+    def body(state):
+        Y, Q, D, rho, it = state
+        Z = amat(D)
+        M = D.T @ Z
+        lam, V = jnp.linalg.eigh(M)
+        lam_max = jnp.maximum(lam[-1], jnp.asarray(1e-30, dtype))
+        inv_lam = jnp.where(lam > 1e-5 * lam_max, 1.0 / lam, 0.0)
+        xi = (V * inv_lam[None, :]) @ V.T
+        Y = Y + D @ (xi @ rho)
+        Qn, gamma = orthonormalize(Q - Z @ xi)
+        rho = gamma @ rho
+        D = Qn + D @ gamma.T
+        return (Y, Qn, D, rho, it + 1)
+
+    Y0 = jnp.zeros_like(Bt)
+    Y, Q, D, rho, iters = jax.lax.while_loop(
+        cond, body, (Y0, Q0, Q0, rho0, jnp.int32(0)))
+    X = Y * ihalf[:, None]
+    rnorm = jnp.sqrt(jnp.sum(rho * rho, axis=0))
+    return X, iters, rnorm, jnp.sqrt(bnorm2)
 
 
 def block_cg_loop(matmat, pc_cols, B, rtol, maxiter, dtype):
@@ -94,7 +214,8 @@ class BlockCgSolver(Solver):
     def __init__(self, A: CsrMatrix, rtol=1e-10, inner_rtol=1e-5,
                  maxiter=None, max_refine=6, precond="jacobi",
                  layout="auto", ordering="none", dtype=None,
-                 precond_params=None, **params):
+                 precond_params=None, method="shared", qr="householder",
+                 **params):
         super().__init__(A, **params)
         del dtype, layout  # fixed structure: f32 SpMM inner / df64 outer
         self.rtol = float(rtol)
@@ -102,6 +223,18 @@ class BlockCgSolver(Solver):
         self.maxiter = (int(maxiter) if maxiter is not None
                         else max(10 * A.nrows, 1000))
         self.max_refine = int(max_refine)
+        if method not in ("shared", "simultaneous"):
+            raise ValueError(f"unknown block_cg method '{method}' "
+                             "(shared | simultaneous)")
+        # The shared-subspace recurrence needs a SPLIT (symmetric)
+        # preconditioner; only diagonal ones split explicitly.
+        if method == "shared" and precond not in ("jacobi", "none"):
+            method = "simultaneous"
+        self.method = method
+        if qr not in ("householder", "cholqr2"):
+            raise ValueError(f"unknown block_cg qr '{qr}' "
+                             "(householder | cholqr2)")
+        self.qr = qr
 
         from lsbench_tpu.ordering import get_ordering
         _t0 = _time.perf_counter()
@@ -135,12 +268,24 @@ class BlockCgSolver(Solver):
         self.setup_breakdown["layout_s"] = _time.perf_counter() - _t0
 
         from lsbench_tpu.solvers.preconditioners import get_preconditioner
-        self._pstate, papply = get_preconditioner(precond)(
-            Ap, jnp.float32, **(precond_params or {}))
+        if self.method == "shared":
+            # Split Jacobi: S = diag(|d|)^{-1/2} (abs guards indefinite
+            # diagonals; zero diagonals fall back to identity scaling).
+            d = np.abs(Ap.diagonal())
+            ih = np.where(d > 0.0, 1.0 / np.sqrt(np.where(d == 0, 1.0, d)),
+                          1.0)
+            if precond == "none":
+                ih = np.ones_like(ih)
+            self._pstate = jnp.asarray(ih, dtype=jnp.float32)
+            papply = None
+        else:
+            self._pstate, papply = get_preconditioner(precond)(
+                Ap, jnp.float32, **(precond_params or {}))
 
         rtol_c, inner_rtol_c = self.rtol, self.inner_rtol
         maxiter_c, max_refine_c = self.maxiter, self.max_refine
         perm_dev, inv_dev = self._perm, self._inv
+        method_c, qr_c = self.method, self.qr
 
         @jax.jit
         def _solve(op, op64, pstate, B):
@@ -151,8 +296,11 @@ class BlockCgSolver(Solver):
             tol2 = (rtol_c ** 2) * bnorm2
 
             mm = lambda V: mm32(op, V)
-            pc_cols = jax.vmap(lambda r: papply(pstate, r),
-                               in_axes=1, out_axes=1)
+            if method_c == "shared":
+                pc_cols = None
+            else:
+                pc_cols = jax.vmap(lambda r: papply(pstate, r),
+                                   in_axes=1, out_axes=1)
 
             def mm64(Xc):
                 # df64 residual SpMM: one df64 Pallas SpMV per column.
@@ -174,9 +322,14 @@ class BlockCgSolver(Solver):
                 safe = jnp.where(scale > 0, scale, 1.0)
                 R32 = (R.astype(jnp.float32)
                        * (1.0 / safe).astype(jnp.float32)[None, :])
-                D32, inner_iters, _, _ = block_cg_loop(
-                    mm, pc_cols, R32, inner_rtol_c, maxiter_c,
-                    jnp.float32)
+                if method_c == "shared":
+                    D32, inner_iters, _, _ = block_cg_shared_loop(
+                        mm, pstate, R32, inner_rtol_c, maxiter_c,
+                        jnp.float32, qr=qr_c)
+                else:
+                    D32, inner_iters, _, _ = block_cg_loop(
+                        mm, pc_cols, R32, inner_rtol_c, maxiter_c,
+                        jnp.float32)
                 D32 = jnp.where(jnp.isfinite(D32), D32, 0.0)
                 X = X + (D32 * safe.astype(jnp.float32)[None, :]
                          ).astype(jnp.float64)
@@ -210,6 +363,7 @@ class BlockCgSolver(Solver):
         return SolveResult(x=x, iters=int(iters), relres=relres,
                            converged=relres <= self.rtol,
                            extra={"refine_passes": int(passes),
+                                  "method": self.method,
                                   "nrhs": int(B.shape[1]),
                                   "relres_cols": relres_cols.tolist(),
                                   # Structurally f32 SpMM inner + df64

@@ -136,6 +136,66 @@ def test_cli_nrhs_ginkgo_alias_rejected_by_resolved_name(capsys):
     assert rc == 1
 
 
+def test_block_cg_shared_fewer_iters_than_simultaneous():
+    """VERDICT r2 item 4: the shared-subspace (BCGrQ) iteration shares one
+    block-Krylov space, so its block-iteration count must beat the
+    simultaneous per-column recurrence — and come in ≤ ~1.3x the
+    single-RHS cg_ir count (it is typically BELOW it: the subspace grows
+    k vectors per iteration)."""
+    from lsbench_tpu.solvers.base import get_solver
+
+    A = read_matrix(REF)
+    n = A.nrows
+    rng = np.random.default_rng(0)
+    B = np.column_stack([np.arange(n, dtype=np.float64)] +
+                        [rng.standard_normal(n) for _ in range(7)])
+    iters = {}
+    for method in ("shared", "simultaneous"):
+        s = BlockCgSolver(A, rtol=1e-10, ordering="rcm", method=method)
+        res = s.solve(B)
+        assert res.converged, method
+        X = np.asarray(res.x, np.float64)
+        for j in range(8):
+            tr = (np.linalg.norm(B[:, j] - A.matvec(X[:, j]))
+                  / np.linalg.norm(B[:, j]))
+            assert tr <= 1e-9, (method, j, tr)
+        iters[method] = res.iters
+        assert res.extra["method"] == method
+    assert iters["shared"] < iters["simultaneous"]
+
+    cls, params = get_solver("cg_ir")
+    single = cls(A, rtol=1e-10, ordering="rcm", **params).solve(B[:, 0])
+    assert iters["shared"] <= 1.3 * single.iters
+
+
+def test_block_cg_shared_rank_deficient_rhs():
+    """Breakdown-free check: duplicate and zero RHS columns collapse the
+    block rank; the CholQR shift must keep the iteration alive and every
+    column must still solve."""
+    A = poisson_2d(24)
+    n = A.nrows
+    rng = np.random.default_rng(5)
+    c = rng.standard_normal(n)
+    B = np.column_stack([c, c, 2.0 * c, np.zeros(n)])  # rank 1 (+zero col)
+    s = BlockCgSolver(A, rtol=1e-10, method="shared")
+    res = s.solve(B)
+    D = _dense(A)
+    X = np.asarray(res.x, np.float64)
+    for j in range(3):
+        tr = np.linalg.norm(B[:, j] - D @ X[:, j]) / np.linalg.norm(B[:, j])
+        assert tr <= 1e-9, (j, tr)
+    assert np.linalg.norm(X[:, 3]) <= 1e-8  # zero rhs -> zero solution
+
+
+def test_block_cg_nondiagonal_precond_falls_back_to_simultaneous():
+    A = poisson_2d(16)
+    s = BlockCgSolver(A, rtol=1e-10, precond="block_jacobi")
+    assert s.method == "simultaneous"
+    b = np.arange(A.nrows, dtype=np.float64)
+    res = s.solve(b)
+    assert res.converged
+
+
 def test_block_cg_bench_record_precision(capsys):
     """block_cg's structural f32+df64 mode is first-class in the record."""
     from lsbench_tpu.harness.cli import main
