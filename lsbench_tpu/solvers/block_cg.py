@@ -117,44 +117,53 @@ def block_cg_shared_loop(matmat, ihalf, B, rtol, maxiter, dtype,
     bnorm (k,)) in the ORIGINAL (unscaled) variables; norms are of the
     split-preconditioned residual, which the caller's outer f64
     refinement re-checks in the true norm.
+
+    Every matmul here traces under HIGHEST precision: the TPU MXU's
+    default bf16 operand rounding corrupts the Gram products /
+    orthonormalization enough to triple the iteration count (measured
+    748 vs ~270 block iters on xn3b_A_10 k=8) — the same hardware trap
+    the SpMM kernel hit in round 2.
     """
     B = B.astype(dtype)
     ihalf = ihalf.astype(dtype)
-    Bt = B * ihalf[:, None]
     orthonormalize = (_cholqr2 if qr == "cholqr2"
                       else lambda Y: jnp.linalg.qr(Y, mode="reduced"))
-    Q0, rho0 = orthonormalize(Bt)
-    bnorm2 = jnp.sum(rho0 * rho0, axis=0)
-    tol2 = (rtol ** 2) * bnorm2
-    k = B.shape[1]
 
-    def amat(D):
-        return matmat(D * ihalf[:, None]) * ihalf[:, None]
+    with jax.default_matmul_precision("highest"):
+        Bt = B * ihalf[:, None]
+        Q0, rho0 = orthonormalize(Bt)
+        bnorm2 = jnp.sum(rho0 * rho0, axis=0)
+        tol2 = (rtol ** 2) * bnorm2
+        k = B.shape[1]
 
-    def cond(state):
-        _, _, _, rho, it = state
-        return jnp.logical_and(it < maxiter,
-                               jnp.any(jnp.sum(rho * rho, axis=0) > tol2))
+        def amat(D):
+            return matmat(D * ihalf[:, None]) * ihalf[:, None]
 
-    def body(state):
-        Y, Q, D, rho, it = state
-        Z = amat(D)
-        M = D.T @ Z
-        lam, V = jnp.linalg.eigh(M)
-        lam_max = jnp.maximum(lam[-1], jnp.asarray(1e-30, dtype))
-        inv_lam = jnp.where(lam > 1e-5 * lam_max, 1.0 / lam, 0.0)
-        xi = (V * inv_lam[None, :]) @ V.T
-        Y = Y + D @ (xi @ rho)
-        Qn, gamma = orthonormalize(Q - Z @ xi)
-        rho = gamma @ rho
-        D = Qn + D @ gamma.T
-        return (Y, Qn, D, rho, it + 1)
+        def cond(state):
+            _, _, _, rho, it = state
+            return jnp.logical_and(
+                it < maxiter,
+                jnp.any(jnp.sum(rho * rho, axis=0) > tol2))
 
-    Y0 = jnp.zeros_like(Bt)
-    Y, Q, D, rho, iters = jax.lax.while_loop(
-        cond, body, (Y0, Q0, Q0, rho0, jnp.int32(0)))
-    X = Y * ihalf[:, None]
-    rnorm = jnp.sqrt(jnp.sum(rho * rho, axis=0))
+        def body(state):
+            Y, Q, D, rho, it = state
+            Z = amat(D)
+            M = D.T @ Z
+            lam, V = jnp.linalg.eigh(M)
+            lam_max = jnp.maximum(lam[-1], jnp.asarray(1e-30, dtype))
+            inv_lam = jnp.where(lam > 1e-5 * lam_max, 1.0 / lam, 0.0)
+            xi = (V * inv_lam[None, :]) @ V.T
+            Y = Y + D @ (xi @ rho)
+            Qn, gamma = orthonormalize(Q - Z @ xi)
+            rho = gamma @ rho
+            D = Qn + D @ gamma.T
+            return (Y, Qn, D, rho, it + 1)
+
+        Y0 = jnp.zeros_like(Bt)
+        Y, Q, D, rho, iters = jax.lax.while_loop(
+            cond, body, (Y0, Q0, Q0, rho0, jnp.int32(0)))
+        X = Y * ihalf[:, None]
+        rnorm = jnp.sqrt(jnp.sum(rho * rho, axis=0))
     return X, iters, rnorm, jnp.sqrt(bnorm2)
 
 
