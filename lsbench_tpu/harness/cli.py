@@ -379,7 +379,8 @@ def _make_distributed(solver_name: str, A, args, params):
         # Full alias preset pass-through so `--solver hypre --devices N`
         # builds the SAME hierarchy as the single-chip alias ("cycle" is
         # excluded: the K-cycle's FCG recursion is single-chip only).
-        for k in ("cycles", "coarsening", "theta", "interp", "smoother",
+        for k in ("cycles", "coarsening", "theta", "interp", "interp_passes",
+                  "interp_omega", "pmax", "smoother",
                   "degree", "pre_sweeps", "post_sweeps"):
             if k in params:
                 kw[k] = params[k]
@@ -388,7 +389,8 @@ def _make_distributed(solver_name: str, A, args, params):
                                                            "amg_classical"):
         from lsbench_tpu.parallel.dist_amg import DistributedAmgCg
         if args.precond == "amg_classical":
-            kw.update(coarsening="classical", theta=0.25)
+            kw.update(coarsening="classical", theta=0.5, interp="jacobi",
+                      interp_passes=3, interp_omega=0.5, pmax=8)
         return DistributedAmgCg(A, mesh, dtype=dtype, **kw)
     kw["ordering"] = params.get("ordering", "none")
     if solver_name in ("bicgstab", "ginkgo"):

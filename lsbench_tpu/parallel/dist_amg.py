@@ -65,7 +65,8 @@ class _DistAmgBase(Solver):
 
     def __init__(self, A: CsrMatrix, mesh: Mesh, dtype=jnp.float64,
                  theta=None, coarsening="sa", smoother="chebyshev", degree=2,
-                 interp="direct", pre_sweeps=1, post_sweeps=1, coarse_n=64,
+                 interp="direct", interp_passes=1, interp_omega=1.0, pmax=4,
+                 pre_sweeps=1, post_sweeps=1, coarse_n=64,
                  max_levels=12, jacobi_scale=4.0 / 3.0, cheby_lower=0.30,
                  ordering="rcm", comm="auto", local_spmv="auto", **params):
         super().__init__(A, **params)
@@ -89,6 +90,8 @@ class _DistAmgBase(Solver):
 
         opts = AmgOptions(theta=theta, coarsening=coarsening,
                           smoother=smoother, degree=degree, interp=interp,
+                          interp_passes=interp_passes,
+                          interp_omega=interp_omega, pmax=pmax,
                           pre_sweeps=pre_sweeps, post_sweeps=post_sweeps,
                           coarse_n=coarse_n, max_levels=max_levels,
                           jacobi_scale=jacobi_scale, cheby_lower=cheby_lower,

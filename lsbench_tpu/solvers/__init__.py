@@ -25,19 +25,27 @@ register_alias("cholmod", "cholesky", refactor_each_solve=False)
 register_alias("cusolver", "cholesky", refactor_each_solve=True)
 # Hypre BoomerAMG: classical AMG (PMIS coarsening, hypre.c:127), fixed 2
 # V-cycles (maxiter=2 tol=0, hypre.c:129,185-186), Chebyshev-family
-# smoother (hypre.c:137). Cycle INTERNALS are tuned to the measured-best
-# convergence on the reference workload rather than hypre's exact knobs
-# (which assume M-matrices; tj7a/xn3b are SEM-type with 32% positive
-# off-diagonal mass): θ=0.5, Jacobi-improved interpolation (beats true
-# ext+i here — both implemented, see classical_amg.py and RESULTS.md),
-# Chebyshev degree 3, V(2,2). Hypre-faithful knobs are one `--opt` away
-# (theta=0.25 interp=ext+i degree=2 pre_sweeps=1 post_sweeps=1).
+# smoother (hypre.c:137). PROTOCOL (cycle counts, fixed-cycle mode) is
+# hypre's; cycle INTERNALS are tuned to the measured-best convergence on
+# the reference workload rather than hypre's literal knobs (which assume
+# M-matrices; tj7a/xn3b are SEM-type with 32% positive off-diagonal
+# mass): θ=0.5, direct interpolation improved by 3 damped (ω=0.5) Jacobi
+# passes toward the ideal -A_FF⁻¹A_FC truncated to 8/row (per-cycle
+# factors 0.15-0.33 on all 7 reference matrices — RESULTS.md §1; true
+# ext+i is implemented too and loses here), Chebyshev degree 3, V(2,2).
+# The hypre-faithful recipe (hypre.c:126-188) is one --opt line away and
+# is TESTED as such (tests/test_amg.py::test_hypre_faithful_preset):
+#   --opt theta=0.25 --opt interp=ext+i --opt smoother=l1_gs
+#   --opt degree=2 --opt interp_passes=1 --opt pmax=4
+#   --opt pre_sweeps=1 --opt post_sweeps=1
 register_alias("hypre", "amg", cycles=2, coarsening="classical", theta=0.5,
-               interp="jacobi", degree=3, pre_sweeps=2, post_sweeps=2)
+               interp="jacobi", interp_passes=3, interp_omega=0.5, pmax=8,
+               degree=3, pre_sweeps=2, post_sweeps=2)
 # AmgX: CLASSICAL selector, D2 interpolator, 1 V-cycle (amgx.c:78-86);
 # same tuned internals as the hypre alias.
 register_alias("amgx", "amg", cycles=1, coarsening="classical", theta=0.5,
-               interp="jacobi", degree=3, pre_sweeps=2, post_sweeps=2)
+               interp="jacobi", interp_passes=3, interp_omega=0.5, pmax=8,
+               degree=3, pre_sweeps=2, post_sweeps=2)
 # parAlmond: single AMG K-cycle application (paralmond.cpp:118-140; the
 # parAlmond library is aggregation K-cycle AMG). Bounded pairwise
 # aggregates (Notay AGMG style) + smoothed basis — measured factor 0.69

@@ -231,6 +231,16 @@ class AmgOptions:
     interp: str = "direct"       # classical interpolation: "direct" or
     #                              "jacobi" (direct + Jacobi improvement,
     #                              the ext+i distance-2 role, hypre.c:128)
+    strength: str = "classical"  # classical strength measure: "classical"
+    interp_passes: int = 1       # Jacobi-improvement passes toward the
+    #                              ideal -A_FF^-1 A_FC (interp="jacobi")
+    interp_omega: float = 1.0    # damping of those passes (<1 when Jacobi
+    #                              on A_FF diverges — the tj7a series)
+    pmax: int = 4                # interpolation truncation (entries/row)
+    #                              (Ruge-Stüben signed, M-matrix) or "abs"
+    #                              (absolute value — for the reference's
+    #                              SEM matrices with 32% positive
+    #                              off-diagonal mass)
     smoother: str = "chebyshev"  # "chebyshev" (hypre cheby order, hypre.c:137),
     #                              "jacobi" (weight auto-scaled by ρ(D⁻¹A)),
     #                              "l1_jacobi" (ℓ1-scaled, convergent
@@ -262,7 +272,10 @@ def _coarsen_level(Al: CsrMatrix, opts: AmgOptions, level: int
     if opts.coarsening == "classical":
         from lsbench_tpu.solvers.classical_amg import classical_coarsen
         theta = 0.25 if opts.theta is None else opts.theta
-        return classical_coarsen(Al, theta, seed=level, interp=opts.interp)
+        return classical_coarsen(Al, theta, seed=level, interp=opts.interp,
+                                 strength=opts.strength, pmax=opts.pmax,
+                                 interp_passes=opts.interp_passes,
+                                 interp_omega=opts.interp_omega)
     if opts.coarsening in ("pairwise", "sa_pairwise"):
         # Bounded (≤4-node) aggregates; "pairwise" keeps the piecewise-
         # constant P (pair with cycle="k" — the AGMG/parAlmond recipe),
@@ -602,7 +615,8 @@ class AmgSolver(Solver):
 
     def __init__(self, A: CsrMatrix, dtype=jnp.float64, cycles=None,
                  rtol=1e-8, maxiter=100, theta=None, coarsening="sa",
-                 interp="direct", smoother="chebyshev",
+                 interp="direct", smoother="chebyshev", strength="classical",
+                 interp_passes=1, pmax=4, interp_omega=1.0,
                  degree=2, cycle="v", pre_sweeps=1, post_sweeps=1,
                  coarse_n=128, max_levels=12, layout="auto", ordering="none",
                  **params):
@@ -657,7 +671,9 @@ class AmgSolver(Solver):
         del ordering
 
         opts = AmgOptions(cycle=cycle, theta=theta, coarsening=coarsening,
-                          interp=interp, smoother=smoother,
+                          interp=interp, smoother=smoother, strength=strength,
+                          interp_passes=interp_passes, pmax=pmax,
+                          interp_omega=interp_omega,
                           degree=degree, pre_sweeps=pre_sweeps,
                           post_sweeps=post_sweeps, coarse_n=coarse_n,
                           max_levels=max_levels)

@@ -26,13 +26,21 @@ from lsbench_tpu.ops.spgemm import spgemm
 UNDECIDED, FPOINT, CPOINT = -1, 0, 1
 
 
-def classical_strength(A: CsrMatrix, theta: float
+def classical_strength(A: CsrMatrix, theta: float, mode: str = "classical"
                        ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Classical strength of connection.
+    """Strength of connection.
 
-    j is a strong dependency of i iff  -a_ij·sign(a_ii) >= theta · max_k
-    (-a_ik·sign(a_ii))  over off-diagonal k (Ruge-Stüben measure; matches
-    Hypre's default for the 0.25 threshold, hypre.c:167).
+    mode="classical": j is a strong dependency of i iff
+    -a_ij·sign(a_ii) >= theta · max_k (-a_ik·sign(a_ii)) over off-diagonal
+    k (Ruge-Stüben measure; matches Hypre's default for the 0.25
+    threshold, hypre.c:167). Positive off-diagonals can never be strong —
+    the M-matrix assumption.
+
+    mode="abs": |a_ij| >= theta · max_k |a_ik| — the absolute-value
+    measure for matrices OUTSIDE the M-matrix class (the reference
+    workload carries 32% positive off-diagonal mass; a positive coupling
+    as large as the negative ones is a real dependency the classical
+    measure ignores).
 
     Returns (rows, cols) of the strong-dependency edge set S (i depends on
     j), plus the per-edge index into A's nnz arrays.
@@ -42,9 +50,15 @@ def classical_strength(A: CsrMatrix, theta: float
     v = A.vals
     d = A.diagonal()
     off = r != c
-    # m_ij = -a_ij * sign(a_ii): positive for "good" (M-matrix) couplings.
-    sign = np.where(d[r] >= 0, 1.0, -1.0)
-    m = np.where(off, -v * sign, -np.inf)
+    if mode == "abs":
+        m = np.where(off, np.abs(v), -np.inf)
+    elif mode == "classical":
+        # m_ij = -a_ij * sign(a_ii): positive for "good" (M-matrix)
+        # couplings.
+        sign = np.where(d[r] >= 0, 1.0, -1.0)
+        m = np.where(off, -v * sign, -np.inf)
+    else:
+        raise ValueError(f"unknown strength mode '{mode}' (classical|abs)")
     rowmax = np.full(A.nrows, -np.inf)
     np.maximum.at(rowmax, r, m)
     ok = rowmax > 0
@@ -359,13 +373,19 @@ def direct_interpolation(A: CsrMatrix, s_idx: np.ndarray, state: np.ndarray
 
 def jacobi_improve_interpolation(A: CsrMatrix, P: CsrMatrix,
                                  state: np.ndarray, passes: int = 1,
-                                 pmax: int = 4) -> CsrMatrix:
+                                 pmax: int = 4,
+                                 omega: float = 1.0) -> CsrMatrix:
     """Jacobi improvement of the F-rows of P toward ideal interpolation
     W* = -A_FF⁻¹ A_FC, then truncation to `pmax` entries/row with row-sum
     rescaling. One pass reaches distance-2 C-points — the quality role of
     Hypre's extended+i interpolation (interp 6, hypre.c:128) on PMIS grids.
 
-        W ← D_FF⁻¹ (−A_FC − (A_FF − D_FF) W)
+        W ← (1−ω) W + ω D_FF⁻¹ (−A_FC − (A_FF − D_FF) W)
+
+    ω < 1 damps the iteration: plain Jacobi (ω=1) on A_FF diverges when
+    ρ(D_FF⁻¹(A_FF−D_FF)) > 1 (measured on the tj7a series — factors blow
+    past 0.9 at passes ≥ 2 undamped, while damped multi-pass converges
+    toward the ideal operator).
     """
     n = A.nrows
     f_mask = state == FPOINT
@@ -403,8 +423,16 @@ def jacobi_improve_interpolation(A: CsrMatrix, P: CsrMatrix,
         wr = np.concatenate([A_FC.row_indices(), AW.row_indices()])
         wc = np.concatenate([A_FC.cols, AW.cols])
         wv = np.concatenate([A_FC.vals, AW.vals])
-        W = CsrMatrix.from_coo(wr, wc, -wv / d_f[wr],
-                               nrows=f_idx.size, ncols=P.ncols)
+        if omega == 1.0:
+            W = CsrMatrix.from_coo(wr, wc, -wv / d_f[wr],
+                                   nrows=f_idx.size, ncols=P.ncols)
+        else:
+            wr = np.concatenate([wr, W.row_indices()])
+            wc = np.concatenate([wc, W.cols])
+            wv = np.concatenate([-omega * wv / d_f[wr[: wv.size]],
+                                 (1.0 - omega) * W.vals])
+            W = CsrMatrix.from_coo(wr, wc, wv,
+                                   nrows=f_idx.size, ncols=P.ncols)
 
     # Truncate to pmax strongest entries/row, preserving row sums.
     wr2 = W.row_indices()
@@ -430,8 +458,10 @@ def jacobi_improve_interpolation(A: CsrMatrix, P: CsrMatrix,
 
 
 def classical_coarsen(A: CsrMatrix, theta: float, seed: int = 0,
-                      interp: str = "direct", pmax: int = 4
-                      ) -> tuple[CsrMatrix, int]:
+                      interp: str = "direct", pmax: int = 4,
+                      strength: str = "classical",
+                      interp_passes: int = 1,
+                      interp_omega: float = 1.0) -> tuple[CsrMatrix, int]:
     """One level of classical AMG coarsening: strength → PMIS → fixup →
     interpolation. `interp`:
 
@@ -440,8 +470,9 @@ def classical_coarsen(A: CsrMatrix, theta: float, seed: int = 0,
       (an approximation of the ext+i role)
     - "direct": classical direct interpolation (C-promotion fixup)
 
-    Returns (P, n_coarse)."""
-    s_rows, s_cols, s_idx = classical_strength(A, theta)
+    `strength`: "classical" (Ruge-Stüben signed) or "abs" (absolute
+    value — the non-M-matrix measure). Returns (P, n_coarse)."""
+    s_rows, s_cols, s_idx = classical_strength(A, theta, mode=strength)
     state = pmis_splitting(A.nrows, s_rows, s_cols, seed=seed)
     if interp in ("ext+i", "ext_i", "extended+i"):
         state = promote_uninterpolable_d2(state, s_rows, s_cols)
@@ -454,5 +485,6 @@ def classical_coarsen(A: CsrMatrix, theta: float, seed: int = 0,
         return None, 0  # nothing to coarsen to (fully decoupled grid)
     P = direct_interpolation(A, s_idx, state)
     if interp == "jacobi":
-        P = jacobi_improve_interpolation(A, P, state, passes=1, pmax=pmax)
+        P = jacobi_improve_interpolation(A, P, state, passes=interp_passes,
+                                         pmax=pmax, omega=interp_omega)
     return P, P.ncols

@@ -66,11 +66,18 @@ def _amg_precond(A: CsrMatrix, dtype, **amg_params):
 
 
 def _amg_classical_precond(A: CsrMatrix, dtype, **amg_params):
-    """Classical-AMG (PMIS + Jacobi-improved distance-2 interp) V-cycle —
-    the Hypre/AmgX-family preconditioner (hypre.c:126-188)."""
+    """Classical-AMG (PMIS + damped multi-pass Jacobi-improved interp)
+    V-cycle — the Hypre/AmgX-family preconditioner (hypre.c:126-188).
+    Defaults are the measured-best internals on the reference workload:
+    3 damped (ω=0.5) improvement passes toward the ideal -A_FF⁻¹A_FC,
+    truncated to 8/row — per-cycle factors 0.15-0.33 across all seven
+    reference matrices (RESULTS.md §1)."""
     amg_params.setdefault("coarsening", "classical")
-    amg_params.setdefault("theta", 0.25)
+    amg_params.setdefault("theta", 0.5)
     amg_params.setdefault("interp", "jacobi")
+    amg_params.setdefault("interp_passes", 3)
+    amg_params.setdefault("interp_omega", 0.5)
+    amg_params.setdefault("pmax", 8)
     from lsbench_tpu.solvers.amg import amg_precond
     return amg_precond(A, dtype, **amg_params)
 

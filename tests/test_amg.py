@@ -392,3 +392,59 @@ def test_cg_with_l1_gs_amg_precond():
                                  theta=0.25))
     res = s.solve(b)
     assert res.converged and res.iters < 25, (res.iters, res.relres)
+
+
+def test_r3_preset_cycle_factor_under_035(ref_data_dir):
+    """VERDICT r2 item 3 regression lock: the r3 hypre-alias internals
+    (3 damped ideal-interp passes, pmax 8) hold per-cycle factor ≤ 0.35
+    on the reference workload (RESULTS.md §1 measures 0.146-0.331 on all
+    seven matrices; this pins the cheapest one)."""
+    from lsbench_tpu.matrix.io import read_matrix
+    A = read_matrix(str(ref_data_dir / "xn3b_A_18.txt"))
+    b = make_rhs(A.nrows)
+    s = make("amg", A, coarsening="classical", theta=0.5, interp="jacobi",
+             interp_passes=3, interp_omega=0.5, pmax=8, degree=3,
+             pre_sweeps=2, post_sweeps=2, rtol=1e-10, maxiter=30)
+    res = s.solve(b)
+    factor = res.relres ** (1.0 / max(res.iters, 1))
+    assert factor <= 0.35, factor
+
+
+def test_hypre_alias_two_cycle_product(ref_data_dir):
+    """The hypre ALIAS (fixed 2 cycles, hypre.c:129,185-186) with the r3
+    internals: 2-cycle residual reduction ≤ 0.15 (≈ factor² + margin)."""
+    from lsbench_tpu.matrix.io import read_matrix
+    A = read_matrix(str(ref_data_dir / "xn3b_A_18.txt"))
+    b = make_rhs(A.nrows)
+    s = make("hypre", A)
+    res = s.solve(b)
+    assert res.iters == 2
+    assert res.relres <= 0.15, res.relres
+
+
+def test_hypre_faithful_preset(ref_data_dir):
+    """The hypre-FAITHFUL knobs (hypre.c:126-188: θ=0.25, ext+i interp,
+    relax type 8 = ℓ1-hybrid-SGS, V(1,1)) — reachable exactly as the
+    README documents, via solver params (--opt ... on the CLI) — must run
+    and contract (the alias's tuned defaults differ; this pins the
+    faithful path so the divergence stays an explicit, working choice)."""
+    from lsbench_tpu.matrix.io import read_matrix
+    A = read_matrix(str(ref_data_dir / "xn3b_A_18.txt"))
+    b = make_rhs(A.nrows)
+    s = make("amg", A, cycles=2, coarsening="classical", theta=0.25,
+             interp="ext+i", smoother="l1_gs", degree=2,
+             interp_passes=1, pmax=4, pre_sweeps=1, post_sweeps=1)
+    res = s.solve(b)
+    assert res.iters == 2
+    assert res.relres < 1.0, res.relres  # contracts under the protocol
+
+
+def test_abs_strength_selectable():
+    """strength=abs is selectable (documented negative result on the
+    reference workload, RESULTS.md §1) and produces a working hierarchy."""
+    A = poisson_2d(16)
+    b = make_rhs(A.nrows)
+    s = make("amg", A, coarsening="classical", strength="abs",
+             rtol=1e-8, maxiter=60)
+    res = s.solve(b)
+    assert res.converged
