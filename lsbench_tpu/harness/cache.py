@@ -56,6 +56,17 @@ def fingerprint_csr(A) -> str:
     return h.hexdigest()[:24]
 
 
+def fingerprint_pattern(A) -> str:
+    """Structure-only hash (shape + offs + cols, values excluded) — the
+    key for same-pattern re-setup (parameter-dependent re-assembly keeps
+    the sparsity; only values change)."""
+    h = hashlib.sha256()
+    h.update(np.asarray([A.nrows, A.ncols], dtype=np.int64).tobytes())
+    h.update(np.ascontiguousarray(A.offs).tobytes())
+    h.update(np.ascontiguousarray(A.cols).tobytes())
+    return h.hexdigest()[:24]
+
+
 def _path(kind: str, key: str) -> Path:
     return cache_dir() / f"{kind}-{key}.npz"
 

@@ -410,8 +410,15 @@ def _make_distributed(solver_name: str, A, args, params):
     if solver_name == "gmres":
         from lsbench_tpu.parallel.dist_gmres import DistributedGmres
         return DistributedGmres(A, mesh, dtype=dtype, **kw)
+    if solver_name == "block_cg":
+        # --nrhs k --devices N composing: the k RHS ride the same halo
+        # exchange + streamed BSR blocks (parallel/dist_block_cg.py).
+        from lsbench_tpu.parallel.dist_block_cg import DistributedBlockCg
+        kw.setdefault("rtol", 1e-10)
+        return DistributedBlockCg(A, mesh, nrhs=max(args.nrhs, 1), **kw)
     print(f"solver '{solver_name}' has no distributed implementation "
-          "(distributed: cg, gmres, ginkgo, amg, hypre, amgx, paralmond).",
+          "(distributed: cg, cg_ir, block_cg, gmres, ginkgo, amg, hypre, "
+          "amgx, paralmond).",
           file=sys.stderr)
     return None
 

@@ -33,7 +33,7 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from lsbench_tpu.matrix.csr import CsrMatrix
-from lsbench_tpu.parallel.mesh import ROWS
+from lsbench_tpu.parallel.mesh import ROWS, fetch_global
 from lsbench_tpu.solvers.amg import AmgOptions, build_matrix_hierarchy
 from lsbench_tpu.solvers.base import SolveResult, Solver
 
@@ -97,7 +97,8 @@ class _DistAmgBase(Solver):
                           jacobi_scale=jacobi_scale, cheby_lower=cheby_lower,
                           reorder_coarse=(comm != "all_gather"))
         self.opts = opts
-        mats, Acoarse = build_matrix_hierarchy(Ap, opts)
+        mats, Acoarse = build_matrix_hierarchy(
+            Ap, opts, breakdown=self.setup_breakdown)
         self.n_levels = len(mats) + 1
         self.comm = comm
 
@@ -350,7 +351,7 @@ class DistributedAmg(_DistAmgBase):
             self._levels_dev, self._coarse_L, self._pad_b(b))
         rnorm, bnorm = float(rnorm), float(bnorm)
         relres = rnorm / bnorm if bnorm > 0 else 0.0
-        x_host = self._unpermute(np.asarray(x)[: self.n])
+        x_host = self._unpermute(fetch_global(x, self.n))
         conv = (True if self.cycles is not None else relres <= self.rtol)
         return SolveResult(x=x_host, iters=int(iters), relres=relres,
                            converged=conv,
@@ -433,7 +434,7 @@ class DistributedAmgCg(_DistAmgBase):
         x, relres, iters = self._jit_cg(
             self._levels_dev, self._coarse_L, self._pad_b(b))
         relres = float(relres)
-        x_host = self._unpermute(np.asarray(x)[: self.n])
+        x_host = self._unpermute(fetch_global(x, self.n))
         return SolveResult(x=x_host, iters=int(iters), relres=relres,
                            converged=relres <= self.rtol,
                            extra={"levels": self.n_levels,

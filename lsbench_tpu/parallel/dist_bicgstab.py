@@ -19,7 +19,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from lsbench_tpu.matrix.csr import CsrMatrix
 from lsbench_tpu.parallel.dist_spmv import build_dist_matvec
-from lsbench_tpu.parallel.mesh import ROWS
+from lsbench_tpu.parallel.mesh import ROWS, fetch_global
 from lsbench_tpu.solvers.base import SolveResult, Solver
 
 
@@ -119,7 +119,7 @@ class DistributedBicgstab(Solver):
         x, rnorm, bnorm, iters = self._jit(*self._args, self._pad_b(b))
         rnorm, bnorm = float(rnorm), float(bnorm)
         relres = rnorm / bnorm if bnorm > 0 else 0.0
-        return SolveResult(x=self._ord.unpermute_x(np.asarray(x)[: self.n]),
+        return SolveResult(x=self._ord.unpermute_x(fetch_global(x, self.n)),
                            iters=int(iters),
                            relres=relres,
                            converged=relres <= self.rtol or bnorm == 0.0,

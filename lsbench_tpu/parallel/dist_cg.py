@@ -26,7 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from lsbench_tpu.matrix.csr import CsrMatrix
 from lsbench_tpu.parallel.dist_spmv import (build_dist_matvec,
                                             force_global_cols)
-from lsbench_tpu.parallel.mesh import ROWS
+from lsbench_tpu.parallel.mesh import ROWS, fetch_global
 from lsbench_tpu.solvers.base import SolveResult, Solver
 
 # Back-compat name (dist_gmres/dist_bicgstab used to import it from here).
@@ -173,7 +173,7 @@ class DistributedCg(Solver):
         relres = float(relres)
         # Slice padding off on host (x is row-sharded; device slicing across
         # shard boundaries would need a resharding collective).
-        x_host = self._ord.unpermute_x(np.asarray(x)[: self.n])
+        x_host = self._ord.unpermute_x(fetch_global(x, self.n))
         return SolveResult(x=x_host, iters=int(iters), relres=relres,
                            converged=relres <= self.rtol,
                            extra={"strategy": self.strategy,

@@ -28,7 +28,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from lsbench_tpu.matrix.csr import CsrMatrix
 from lsbench_tpu.parallel.dist_spmv import build_dist_matvec
-from lsbench_tpu.parallel.mesh import ROWS
+from lsbench_tpu.parallel.mesh import ROWS, fetch_global
 from lsbench_tpu.parallel.perm import resolve_dist_ordering
 from lsbench_tpu.solvers.base import SolveResult, Solver
 
@@ -177,7 +177,7 @@ class DistributedCgIr(Solver):
             *self._op_args, self._pad_b(b))
         rnorm, bnorm = float(rnorm), float(bnorm)
         relres = rnorm / bnorm if bnorm > 0 else 0.0
-        x_host = self._ord.unpermute_x(np.asarray(x)[: self.n])
+        x_host = self._ord.unpermute_x(fetch_global(x, self.n))
         return SolveResult(x=x_host, iters=int(iters), relres=relres,
                            converged=relres <= self.rtol or bnorm == 0.0,
                            extra={"refine_passes": int(passes),

@@ -175,7 +175,8 @@ def build_halo_bsr_plan(A: CsrMatrix, n_devices: int, dtype=jnp.float32,
 
 
 def _halo_exchange(x_l, H: int):
-    """Ring-exchange the H boundary entries of the local x (ppermute)."""
+    """Ring-exchange the H boundary entries (rows) of the local x
+    (ppermute); works for (nloc,) vectors and (nloc, k) blocks alike."""
     ndev = jax.lax.axis_size(ROWS)
     right_halo = jax.lax.ppermute(
         x_l[:H], ROWS, [(d, d - 1) for d in range(1, ndev)])
@@ -203,6 +204,36 @@ def halo_spmv_bsr_local(halo: int, nloc: int, n_ext: int,
     y = _spmv_bsr_call(bcols_l.reshape(-1), x_pad.reshape(n_cb, BC),
                        blocks_l[0], br=BR, interpret=interpret)
     return y.reshape(-1)[:nloc]
+
+
+def halo_spmm_bsr_local(halo: int, nloc: int, n_ext: int,
+                        bcols_l, blocks_l, X_l,
+                        interpret: bool | None = None):
+    """Inside shard_map: halo exchange of the RHS BLOCK + Pallas f32 BSR
+    SpMM (ops/spmv_pallas.py::_spmm_bsr_call — one MXU dot_general per
+    block slot). X_l: (nloc, k) → (nloc, k). The k RHS columns ride the
+    SAME streamed blocks as one SpMV, so effective nnz/s scales ~k× until
+    the MXU binds (the multi-RHS economics of SURVEY §6)."""
+    from lsbench_tpu.matrix.bsr import BC, BR
+    from lsbench_tpu.ops.spmv_pallas import _spmm_bsr_call
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    k = X_l.shape[1]
+    X_ext = _halo_exchange(X_l.astype(jnp.float32), halo)      # (n_ext, k)
+    n_cb = -(-n_ext // BC)
+    X_pad = jnp.zeros((n_cb * BC, k), jnp.float32).at[:n_ext].set(X_ext)
+    x_table = X_pad.reshape(n_cb, BC, k).transpose(0, 2, 1)
+    y = _spmm_bsr_call(bcols_l.reshape(-1), x_table, blocks_l[0],
+                       br=BR, interpret=interpret)
+    return y.reshape(-1, k)[:nloc]
+
+
+def halo_spmm_ell_local(halo: int, vals_l, cols_l, X_l):
+    """Inside shard_map: halo exchange + jnp gather-ELL local SpMM
+    (the any-dtype / CPU fallback). X_l: (nloc, k) → (nloc, k)."""
+    X_ext = _halo_exchange(X_l, halo)
+    return jnp.einsum("ns,nsk->nk", vals_l, X_ext[cols_l])
 
 
 def halo_spmv_bsr_df64_local(halo: int, nloc: int, n_ext: int,
@@ -251,6 +282,7 @@ class DistMatvec:
     op_args: tuple
     op_specs: tuple
     matvec: object          # callable (op_l: tuple, x_l) -> y_l
+    matmat: object          # callable (op_l: tuple, X_l (nloc,k)) -> (nloc,k)
     strategy: str           # "halo" | "all_gather"
     local_spmv: str         # "bsr" | "ell"
     halo: int
@@ -315,6 +347,14 @@ def build_dist_matvec(A: CsrMatrix, mesh, dtype, strategy: str = "auto",
 
             def matvec(op_l, x_l):
                 return halo_spmv_bsr_df64_local(h, nl, ne, *op_l, x_l)
+
+            def matmat(op_l, X_l):
+                # Per-column df64 SpMV: used only for the once-per-pass
+                # f64 residual in block solvers (k is small; the f32
+                # inner iteration carries the SpMM traffic).
+                cols = [matvec(op_l, X_l[:, j])
+                        for j in range(X_l.shape[1])]
+                return jnp.stack(cols, axis=1)
         else:
             op_args = (jax.device_put(bsr_plan.bcols, row_shard),
                        jax.device_put(bsr_plan.blocks_hi, blk_shard))
@@ -323,6 +363,10 @@ def build_dist_matvec(A: CsrMatrix, mesh, dtype, strategy: str = "auto",
             def matvec(op_l, x_l):
                 return halo_spmv_bsr_local(h, nl, ne, *op_l,
                                            x_l).astype(dtype)
+
+            def matmat(op_l, X_l):
+                return halo_spmm_bsr_local(h, nl, ne, *op_l,
+                                           X_l).astype(dtype)
     else:
         op_args = (jax.device_put(plan.vals, row_shard),
                    jax.device_put(plan.cols, row_shard))
@@ -332,13 +376,20 @@ def build_dist_matvec(A: CsrMatrix, mesh, dtype, strategy: str = "auto",
 
             def matvec(op_l, x_l):
                 return halo_spmv_local(H, op_l[0], op_l[1], x_l)
+
+            def matmat(op_l, X_l):
+                return halo_spmm_ell_local(H, op_l[0], op_l[1], X_l)
         else:
             def matvec(op_l, x_l):
                 full = jax.lax.all_gather(x_l, ROWS, tiled=True)
                 return jnp.sum(op_l[0] * full[op_l[1]], axis=1)
 
+            def matmat(op_l, X_l):
+                full = jax.lax.all_gather(X_l, ROWS, tiled=True)
+                return jnp.einsum("ns,nsk->nk", op_l[0], full[op_l[1]])
+
     return DistMatvec(
-        op_args=op_args, op_specs=op_specs, matvec=matvec,
+        op_args=op_args, op_specs=op_specs, matvec=matvec, matmat=matmat,
         strategy=strategy, local_spmv="bsr" if use_bsr else "ell",
         halo=plan.halo, nloc=plan.nloc, n_pad=plan.n_pad, n=plan.n,
         check_vma=not use_bsr, plan=plan, bsr_plan=bsr_plan)

@@ -70,6 +70,19 @@ def make_row_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     return jax.make_mesh((len(devices),), (ROWS,), devices=devices)
 
 
+def fetch_global(x, n: int) -> "np.ndarray":
+    """Host copy of the first n entries of a (possibly row-sharded) global
+    array, correct under multi-process execution: with >1 process a global
+    array is not fully addressable, so np.asarray would throw — gather it
+    across processes first (every process returns the same full array)."""
+    import numpy as np
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        x = multihost_utils.process_allgather(x, tiled=True)
+    return np.asarray(x)[:n]
+
+
 def row_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
     """Shard the leading (row) dimension; replicate the rest."""
     return NamedSharding(mesh, P(ROWS, *([None] * (ndim - 1))))

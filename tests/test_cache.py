@@ -81,3 +81,57 @@ def test_clear(cache_on):
     get_ordering("rcm", poisson_2d(8))
     assert cache.clear() >= 1
     assert not any(cache_on.glob("*.npz"))
+
+
+def test_amg_pattern_hit_device_rap(tmp_path):
+    """VERDICT r2 item 5: same-pattern re-setup. A value change with the
+    same sparsity must hit the pattern-keyed hierarchy and re-form every
+    coarse operator via the device numeric RAP (frozen transfer ops),
+    recording the path in the breakdown — and the refreshed coarse
+    operator must equal the host Galerkin product of the frozen P with
+    the NEW fine values."""
+    import numpy as np
+
+    from lsbench_tpu.harness import cache
+    from lsbench_tpu.matrix.csr import CsrMatrix
+    from lsbench_tpu.matrix.generate import poisson_2d
+    from lsbench_tpu.ops.spgemm import rap
+    from lsbench_tpu.solvers.amg import AmgOptions, build_matrix_hierarchy
+
+    cache.enable(True)
+    cache.set_cache_dir(tmp_path)
+    try:
+        A = poisson_2d(24)
+        opts = AmgOptions(coarsening="classical", theta=0.5,
+                          interp="jacobi", coarse_n=16, max_levels=3)
+        bd = {}
+        mats0, Ac0 = build_matrix_hierarchy(A, opts, breakdown=bd)
+        assert bd["hier_cache"] == "miss"
+        assert len(mats0) >= 1
+
+        # Same pattern, scaled + perturbed values (diagonal-dominant kept).
+        rng = np.random.default_rng(0)
+        v2 = A.vals * (1.5 + 0.01 * rng.random(A.nnz))
+        A2 = CsrMatrix(nrows=A.nrows, ncols=A.ncols, offs=A.offs,
+                       cols=A.cols, vals=v2)
+        bd2 = {}
+        mats2, Ac2 = build_matrix_hierarchy(A2, opts, breakdown=bd2)
+        assert bd2["hier_cache"] == "pattern_hit_device_rap"
+        assert bd2["rap_device_s"] >= 0.0
+
+        # Frozen P, new values: coarse op == host RAP with the same P.
+        P0 = mats0[0]["P"]
+        ref = rap(P0.transpose(), A2, P0)
+        got = mats2[1]["A"] if len(mats2) > 1 else Ac2
+        np.testing.assert_allclose(got.to_dense(), ref.to_dense(),
+                                   rtol=1e-12, atol=1e-12)
+        # Smoother scalings recomputed from the new values.
+        d2 = A2.diagonal()
+        np.testing.assert_allclose(mats2[0]["dinv"], 1.0 / d2, rtol=1e-13)
+
+        # Exact re-run now hits exactly.
+        bd3 = {}
+        build_matrix_hierarchy(A2, opts, breakdown=bd3)
+        assert bd3["hier_cache"] == "exact_hit"
+    finally:
+        cache.enable(False)
