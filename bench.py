@@ -73,6 +73,7 @@ def _slope_timed(fn, x0, c1, c2, reps=3, args=()):
 
 def main():
     from lsbench_tpu.matrix.bsr import BsrMatrix
+    from lsbench_tpu.utils import host_fence
     from lsbench_tpu.matrix.ell import EllMatrix
     from lsbench_tpu.matrix.generate import random_spd
     from lsbench_tpu.matrix.io import read_matrix
@@ -157,6 +158,57 @@ def main():
     chol_s = _solve_slope(csolver, b)
     cres = csolver.solve(b)
 
+    # (c) Shared-subspace block CG, k=8 (one block-Krylov space for all
+    # columns — fewer block iterations than ONE single-RHS solve) and
+    # (d) the distributed path on a 1-device mesh (full shard_map/halo/
+    # Pallas-BSR plumbing). Guarded: the headline metric must survive
+    # any regression here.
+    extra = {}
+    try:
+        from lsbench_tpu.solvers.block_cg import BlockCgSolver
+        B8 = np.column_stack(
+            [b] + [np.random.default_rng(3).standard_normal(n)
+                   for _ in range(7)])
+        bsolver = BlockCgSolver(A0, rtol=1e-10, ordering="rcm")
+        bres = bsolver.solve(B8)
+        fn8 = bsolver.solve_fn()
+        host_fence(fn8(B8))
+        host_fence(fn8(B8))
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(10):
+            out = fn8(B8)
+        host_fence(out)
+        blk_s = (time.perf_counter() - t0) / 10
+        extra["block_cg_shared_k8_solve_ms"] = round(blk_s * 1e3, 2)
+        extra["block_cg_shared_k8_per_rhs_ms"] = round(blk_s * 1e3 / 8, 2)
+        extra["block_cg_shared_k8_iters"] = bres.iters
+    except Exception as e:  # noqa: BLE001
+        extra["block_cg_shared_k8_error"] = repr(e)[:200]
+    try:
+        from lsbench_tpu.parallel.dist_cg_ir import DistributedCgIr
+        from lsbench_tpu.parallel.mesh import make_row_mesh
+        dsolver = DistributedCgIr(A0, make_row_mesh(1), rtol=1e-10,
+                                  ordering="rcm")
+        dres = dsolver.solve(b)
+        dfn = dsolver.solve_fn()
+        host_fence(dfn(b))
+        host_fence(dfn(b))
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(10):
+            out = dfn(b)
+        host_fence(out)
+        dist_s = (time.perf_counter() - t0) / 10
+        extra["dist_cg_ir_1dev_solve_ms"] = round(dist_s * 1e3, 2)
+        extra["dist_cg_ir_1dev_per_iter_us"] = round(
+            dist_s / max(dres.iters, 1) * 1e6, 1)
+        extra["dist_cg_ir_1dev_true_relres"] = float(
+            np.linalg.norm(b - A0.matvec(np.asarray(dres.x, np.float64)))
+            / np.linalg.norm(b))
+    except Exception as e:  # noqa: BLE001
+        extra["dist_cg_ir_1dev_error"] = repr(e)[:200]
+
     print(json.dumps({
         "metric": f"spmv_f32_nnz_per_s[{matrix_name}]",
         "value": round(gnnz_s, 3),
@@ -177,6 +229,7 @@ def main():
             "cg_converged": res.converged,
             "cholmod_solve_ms": round(chol_s * 1e3, 3),
             "cholmod_relres": cres.relres,
+            **extra,
             "n": n, "nnz": A.nnz,
             "device": str(jax.devices()[0].device_kind),
         },

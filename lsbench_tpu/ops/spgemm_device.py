@@ -29,12 +29,10 @@ from lsbench_tpu.matrix.csr import CsrMatrix
 class SpgemmPlan:
     """Host-built symbolic plan for C = A @ B (pattern + expansion map).
 
-    Expansion triples are SORTED by destination slot and reduced with a
-    cumsum-diff (one global prefix sum + two gathers) instead of a
-    scatter-add: TPU scatter serializes (~4M updates/s measured on v5e —
-    1.5 s for one 6.4M-pair product), while the sorted reduction is
-    bandwidth-bound (measured 1.4x faster at n=262k, error ~1e-12 from
-    prefix-sum cancellation — fine for preconditioner operators).
+    Expansion triples are SORTED by destination slot; the numeric pass
+    reduces them by cumsum-diff (one prefix sum + two gathers) off-TPU,
+    or by a sorted scatter segment_sum at f64 on TPU — see
+    spgemm_numeric_idx for the measured trade-offs.
     """
     a_idx: jax.Array      # (T,) index into A.vals, sorted by dest slot
     b_idx: jax.Array      # (T,) index into B.vals, same order
@@ -91,8 +89,8 @@ def spgemm_symbolic(A: CsrMatrix, B: CsrMatrix) -> SpgemmPlan:
 
 def spgemm_numeric(plan: SpgemmPlan, a_vals, b_vals):
     """Device numeric pass (jittable): C values in plan order."""
-    return spgemm_numeric_idx(plan.a_idx, plan.b_idx, plan.ends,
-                              plan.nnz, a_vals, b_vals)
+    return spgemm_numeric_idx(plan.a_idx, plan.b_idx, plan.out_idx,
+                              plan.ends, plan.nnz, a_vals, b_vals)
 
 
 @dataclass
@@ -119,7 +117,15 @@ def rap_numeric(plan: RapPlan, r_vals, a_vals, p_vals):
     return spgemm_numeric(plan.rap, ra_vals, p_vals)
 
 
-def spgemm_numeric_idx(a_idx, b_idx, ends, nnz: int, a_vals, b_vals):
+def _df_split64(v):
+    """f64 → (hi, lo) f32 pair with hi + lo == v to f32-pair precision."""
+    hi = v.astype(jnp.float32)
+    lo = (v - hi.astype(jnp.float64)).astype(jnp.float32)
+    return hi, lo
+
+
+def spgemm_numeric_idx(a_idx, b_idx, out_idx, ends, nnz: int,
+                       a_vals, b_vals):
     """spgemm_numeric with the expansion indices as EXPLICIT arguments.
 
     Closing over the plan arrays bakes them into the executable as HLO
@@ -128,25 +134,38 @@ def spgemm_numeric_idx(a_idx, b_idx, ends, nnz: int, a_vals, b_vals):
     (HTTP 413; same constraint as Solver.solve_fn_args). Pass them as jit
     arguments instead; only `nnz` is static.
 
-    Reduction is cumsum-diff over the slot-sorted triples (see
-    SpgemmPlan): two gathers + one prefix sum, no TPU scatter."""
+    Reduction: cumsum-diff over the slot-sorted triples (two gathers +
+    one prefix sum) off-TPU; on TPU at f64 it falls back to the scatter
+    segment_sum — an emulated-f64 cumsum at this size (6.4M elements,
+    level-0 RAP at n=262k) SIGSEGVs the TPU AOT compiler, and a
+    compensated double-float associative_scan, while numerically right,
+    compiles for tens of minutes through the remote-compile tunnel. The
+    f64 scatter measures 1.5 s for the 6.4M-pair level-0 product on v5e
+    (~4M updates/s — TPU scatter serializes) and compiles in seconds."""
     if nnz == 0:
         return jnp.zeros(0, dtype=jnp.result_type(a_vals, b_vals))
+    out_dtype = jnp.result_type(a_vals, b_vals)
     contrib = a_vals[a_idx] * b_vals[b_idx]
-    cs = jnp.cumsum(contrib)
-    seg = cs[ends]
-    return jnp.diff(seg, prepend=jnp.zeros(1, seg.dtype))
+    if (out_dtype == jnp.dtype(jnp.float64)
+            and jax.default_backend() == "tpu"):
+        # NOTE: no indices_are_sorted hint — measured SLOWER with it on
+        # v5e (2.04 s vs 1.53 s for the 6.4M-pair product).
+        return jax.ops.segment_sum(contrib, out_idx, num_segments=nnz)
+    seg = jnp.cumsum(contrib)[ends]
+    return jnp.diff(seg, prepend=jnp.zeros(1, seg.dtype)).astype(out_dtype)
 
 
 def rap_numeric_idx(plan_idx, nnz_ra: int, nnz_rap: int,
                     r_vals, a_vals, p_vals):
     """Device numeric RAP with plan indices as arguments (see
-    spgemm_numeric_idx). `plan_idx` is the 6-tuple
-    (ra.a_idx, ra.b_idx, ra.ends, rap.a_idx, rap.b_idx, rap.ends)."""
-    ra_ai, ra_bi, ra_en, rap_ai, rap_bi, rap_en = plan_idx
-    ra_vals = spgemm_numeric_idx(ra_ai, ra_bi, ra_en, nnz_ra,
+    spgemm_numeric_idx). `plan_idx` is the 8-tuple
+    (ra.a_idx, ra.b_idx, ra.out_idx, ra.ends,
+     rap.a_idx, rap.b_idx, rap.out_idx, rap.ends)."""
+    (ra_ai, ra_bi, ra_oi, ra_en,
+     rap_ai, rap_bi, rap_oi, rap_en) = plan_idx
+    ra_vals = spgemm_numeric_idx(ra_ai, ra_bi, ra_oi, ra_en, nnz_ra,
                                  r_vals, a_vals)
-    return spgemm_numeric_idx(rap_ai, rap_bi, rap_en, nnz_rap,
+    return spgemm_numeric_idx(rap_ai, rap_bi, rap_oi, rap_en, nnz_rap,
                               ra_vals, p_vals)
 
 

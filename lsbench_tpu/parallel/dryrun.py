@@ -71,6 +71,31 @@ def run_dryrun(n_devices: int) -> None:
         res_f.iters, res_f.relres)
     assert amg_fixed.local_spmv == "bsr"
 
+    # Distributed mixed-precision CG (f32 inner + df64 refinement — the
+    # production fp64 mode over a mesh) on the Pallas-BSR local SpMV.
+    from lsbench_tpu.parallel.dist_cg_ir import DistributedCgIr
+    res_ir = DistributedCgIr(A, mesh, rtol=1e-8, local_spmv="bsr").solve(b)
+    xir = np.asarray(res_ir.x)
+    rir = np.linalg.norm(b - A.matvec(xir)) / np.linalg.norm(b)
+    # Interpret-mode df64 loses precision under the forced-host-device
+    # XLA flag (see tests/test_dist_cg_ir.py) — gate at the simulator-
+    # achievable level; hardware asserts 1e-10 (tests/test_tpu_hw.py).
+    assert rir < 1e-5, (res_ir.iters, res_ir.relres, rir)
+
+    # Distributed multi-RHS: k RHS through one halo exchange + one
+    # streamed block pass per iteration (--nrhs x --devices composing).
+    from lsbench_tpu.parallel.dist_block_cg import DistributedBlockCg
+    k = 3
+    rng = np.random.default_rng(0)
+    B = np.column_stack([b] + [rng.standard_normal(A.nrows)
+                               for _ in range(k - 1)])
+    res_k = DistributedBlockCg(A, mesh, nrhs=k, rtol=1e-6).solve(B)
+    Xk = np.asarray(res_k.x)
+    for j in range(k):
+        rk = (np.linalg.norm(B[:, j] - A.matvec(Xk[:, j]))
+              / np.linalg.norm(B[:, j]))
+        assert rk < 1e-4, (j, res_k.iters, rk)
+
     # 2-D block partition (all_gather over rows + psum_scatter over cols).
     if n_devices % 2 == 0 and n_devices >= 4:
         from lsbench_tpu.parallel.dist2d import DistributedCg2d

@@ -474,9 +474,9 @@ class HierarchyRefresher:
 
         self._mats = mats
         self._Acoarse = Acoarse
-        self._plan_idx = []   # 6-tuples of index arrays, passed as jit ARGS
+        self._plan_idx = []   # 8-tuples of index arrays, passed as jit ARGS
         self._rp_vals = []
-        self._numeric = []
+        self._nnz_pairs = []
         chain = [m["A"] for m in mats] + [Acoarse]
         for l, m in enumerate(mats):
             plan = rap_symbolic(m["R"], m["A"], m["P"])
@@ -494,22 +494,46 @@ class HierarchyRefresher:
             # remote-compile tunnel rejects constant-embedding programs
             # (HTTP 413 — see spgemm_device.spgemm_numeric_idx).
             self._plan_idx.append((plan.ra.a_idx, plan.ra.b_idx,
-                                   plan.ra.ends, plan.rap.a_idx,
-                                   plan.rap.b_idx, plan.rap.ends))
+                                   plan.ra.out_idx, plan.ra.ends,
+                                   plan.rap.a_idx, plan.rap.b_idx,
+                                   plan.rap.out_idx, plan.rap.ends))
             self._rp_vals.append((jnp.asarray(m["R"].vals),
                                   jnp.asarray(m["P"].vals)))
-            nnz_ra, nnz_rap = plan.ra.nnz, plan.rap.nnz
-            self._numeric.append(jax.jit(
-                lambda idx, rv, av, pv, _a=nnz_ra, _b=nnz_rap:
-                rap_numeric_idx(idx, _a, _b, rv, av, pv)))
+            self._nnz_pairs.append((plan.ra.nnz, plan.rap.nnz))
+
+        nnz_pairs = self._nnz_pairs
+
+        # ONE jitted program for the whole chain: one remote compile and
+        # one dispatch per refresh instead of one per level (each tunnel
+        # compile costs ~45 s; 7 levels x 2 products added up to ~10 min
+        # of first-call compilation as separate programs).
+        @jax.jit
+        def _chain(plan_idx_all, rp_all, fine_vals):
+            vals = fine_vals
+            out = [vals]
+            for l in range(len(nnz_pairs)):
+                rv, pv = rp_all[l]
+                vals = rap_numeric_idx(plan_idx_all[l], *nnz_pairs[l],
+                                       rv, vals, pv)
+                out.append(vals)
+            return tuple(out)
+
+        self._chain = _chain
 
     def refresh(self, fine_vals) -> tuple[list[dict], CsrMatrix]:
+        # Phase 1: ONE device program runs the whole RAP chain (each
+        # level feeds the next); the host then recomputes smoother
+        # scalings while the device drains.
         vals = jnp.asarray(np.asarray(fine_vals, dtype=np.float64))
+        level_vals = self._chain(tuple(self._plan_idx),
+                                 tuple(self._rp_vals), vals)
+
+        # Phase 2: per-level host pass (diagonals, l1 scaling, rho).
         new_mats = []
         for l, m in enumerate(self._mats):
             Al = CsrMatrix(nrows=m["A"].nrows, ncols=m["A"].ncols,
                            offs=m["A"].offs, cols=m["A"].cols,
-                           vals=np.asarray(vals, dtype=np.float64))
+                           vals=np.asarray(level_vals[l], dtype=np.float64))
             d = Al.diagonal()
             dinv = 1.0 / np.where(d != 0, d, 1.0)
             rl, cl_, vl = Al.to_coo()
@@ -520,11 +544,9 @@ class HierarchyRefresher:
             rho = estimate_rho_dinv_a(Al, dinv)
             new_mats.append(dict(A=Al, P=m["P"], R=m["R"], dinv=dinv,
                                  dinv_l1=dinv_l1, rho=rho))
-            rv, pv = self._rp_vals[l]
-            vals = self._numeric[l](self._plan_idx[l], rv, vals, pv)
         Ac = CsrMatrix(nrows=self._Acoarse.nrows, ncols=self._Acoarse.ncols,
                        offs=self._Acoarse.offs, cols=self._Acoarse.cols,
-                       vals=np.asarray(vals, dtype=np.float64))
+                       vals=np.asarray(level_vals[-1], dtype=np.float64))
         return new_mats, Ac
 
 

@@ -247,6 +247,36 @@ def test_dist_amg_fixed_cycle_1dev_hw():
     assert res.relres <= 0.15, res.relres  # ~0.063 measured single-chip
 
 
+def test_classed_layout_auto_selection_at_scale():
+    """The classed-layout AUTO-selection at the scale where it engages
+    (classed_layout_wins gates on n_sg >= 1024 — VERDICT r2 weak item 5):
+    build_matvec('auto') on the n=262k Poisson must pick the class-padded
+    stream (less HBM traffic than uniform) and compute correctly ON
+    HARDWARE; on the xn3b-sized reference matrix it must NOT engage."""
+    _require_tpu()
+    from lsbench_tpu.matrix.bsr import classed_layout_wins
+    from lsbench_tpu.matrix.generate import poisson_2d
+    from lsbench_tpu.matrix.io import read_matrix
+    from lsbench_tpu.ordering.rcm import rcm_ordering
+    from lsbench_tpu.solvers.cg import build_matvec
+
+    Aref = read_matrix(REF)
+    assert not classed_layout_wins(Aref)  # reference scale: uniform wins
+
+    A0 = poisson_2d(512)  # n = 262,144, 5 nnz/row
+    A = A0.permuted(rcm_ordering(A0))
+    assert classed_layout_wins(A)
+    apply_fn, op, stream = build_matvec(A, jnp.float32, "auto")
+    from lsbench_tpu.matrix.bsr import BsrClassed, BsrMatrix
+    assert isinstance(op, BsrClassed)
+    # Classed streams strictly less than uniform would.
+    uni = BsrMatrix.from_csr(A, dtype=jnp.float32)
+    assert op.bytes_streamed < uni.bytes_streamed
+    x = jnp.asarray(np.random.default_rng(0).random(A.nrows), jnp.float32)
+    y = apply_fn(op, x)
+    _f32_oracle_check(y, A.matvec(np.asarray(x, np.float64)))
+
+
 def test_band_cholesky_50k_device_beats_host():
     """VERDICT r1 item 7: n≈50k synthetic SPD factored with the numeric
     phase on device (MXU band panels), beating the host factor."""
