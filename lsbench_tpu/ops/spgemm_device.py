@@ -29,20 +29,53 @@ from lsbench_tpu.matrix.csr import CsrMatrix
 class SpgemmPlan:
     """Host-built symbolic plan for C = A @ B (pattern + expansion map).
 
-    Expansion triples are SORTED by destination slot; the numeric pass
-    reduces them by cumsum-diff (one prefix sum + two gathers) off-TPU,
-    or by a sorted scatter segment_sum at f64 on TPU — see
-    spgemm_numeric_idx for the measured trade-offs.
+    The reduction layout is SCATTER-FREE: expansion triples are sorted
+    by destination slot, slots are grouped into power-of-two pad classes
+    by triple count (the BsrClassed trick applied to SpGEMM), and the
+    numeric pass is pure gathers + dense row-sums + one permutation
+    gather — no TPU scatter (serializes at ~4M updates/s: 15+ s per
+    n=262k hierarchy re-setup), no giant emulated-f64 cumsum (SIGSEGVs
+    the TPU AOT compiler). Padding targets the appended ZERO sentinel at
+    contrib[T], so padded lanes add exactly 0; per-slot sums are plain
+    sequential f64 adds (no prefix-sum cancellation).
     """
     a_idx: jax.Array      # (T,) index into A.vals, sorted by dest slot
     b_idx: jax.Array      # (T,) index into B.vals, same order
-    out_idx: jax.Array    # (T,) destination nnz slot in C (sorted)
-    ends: jax.Array       # (nnz,) index of each slot's LAST triple
+    pads: tuple           # per class: (n_c, w) int32 into contrib_ext
+    slot_pos: jax.Array   # (nnz,) position of slot j in concat(class outs)
     offs: np.ndarray      # C pattern (host)
     cols: np.ndarray
     nrows: int
     ncols: int
     nnz: int
+
+
+def _class_pads(counts: np.ndarray, total: int):
+    """Group output slots into pow-2 pad classes; build gather indices.
+
+    Returns (pads, slot_pos): pads[k] is an (n_k, w_k) int32 array of
+    positions into the length-(total+1) extended contribution stream
+    (position `total` is the zero sentinel); slot_pos[j] is slot j's row
+    in the concatenation of all class outputs.
+    """
+    nnz = counts.size
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    width = np.maximum(1, 1 << np.ceil(
+        np.log2(np.maximum(counts, 1))).astype(np.int64))
+    pads = []
+    order_slots = []
+    for w in np.unique(width):
+        sel = np.flatnonzero(width == w)
+        st = starts[sel]
+        cnt = counts[sel]
+        idx = st[:, None] + np.arange(w)[None, :]
+        idx = np.where(np.arange(w)[None, :] < cnt[:, None], idx, total)
+        pads.append(jnp.asarray(idx, jnp.int32))
+        order_slots.append(sel)
+    concat_slots = np.concatenate(order_slots)
+    slot_pos = np.empty(nnz, dtype=np.int64)
+    slot_pos[concat_slots] = np.arange(nnz)
+    return tuple(pads), jnp.asarray(slot_pos, jnp.int32)
 
 
 def spgemm_symbolic(A: CsrMatrix, B: CsrMatrix) -> SpgemmPlan:
@@ -55,7 +88,7 @@ def spgemm_symbolic(A: CsrMatrix, B: CsrMatrix) -> SpgemmPlan:
     if total == 0:
         plan_empty = SpgemmPlan(
             a_idx=jnp.zeros(1, jnp.int32), b_idx=jnp.zeros(1, jnp.int32),
-            out_idx=jnp.zeros(1, jnp.int32), ends=jnp.zeros(1, jnp.int32),
+            pads=(), slot_pos=jnp.zeros(0, jnp.int32),
             offs=np.zeros(A.nrows + 1, dtype=np.int64),
             cols=np.zeros(0, dtype=np.int64),
             nrows=A.nrows, ncols=B.ncols, nnz=0)
@@ -74,23 +107,23 @@ def spgemm_symbolic(A: CsrMatrix, B: CsrMatrix) -> SpgemmPlan:
     c_cols = (uniq % B.ncols).astype(np.int64)
     offs = np.zeros(A.nrows + 1, dtype=np.int64)
     np.cumsum(np.bincount(c_rows, minlength=A.nrows), out=offs[1:])
-    # Sort expansion triples by destination slot (stable) and record the
-    # per-slot last-triple positions for the cumsum-diff reduction.
+    # Sort expansion triples by destination slot (stable), then build the
+    # scatter-free class-padded reduction layout.
     order = np.argsort(inv, kind="stable")
-    ends = np.cumsum(np.bincount(inv, minlength=uniq.size)) - 1
+    counts = np.bincount(inv, minlength=uniq.size)
+    pads, slot_pos = _class_pads(counts, total)
     return SpgemmPlan(
         a_idx=jnp.asarray(a_idx[order], jnp.int32),
         b_idx=jnp.asarray(b_idx[order], jnp.int32),
-        out_idx=jnp.asarray(inv[order], jnp.int32),
-        ends=jnp.asarray(ends, jnp.int32),
+        pads=pads, slot_pos=slot_pos,
         offs=offs, cols=c_cols, nrows=A.nrows, ncols=B.ncols,
         nnz=uniq.size)
 
 
 def spgemm_numeric(plan: SpgemmPlan, a_vals, b_vals):
     """Device numeric pass (jittable): C values in plan order."""
-    return spgemm_numeric_idx(plan.a_idx, plan.b_idx, plan.out_idx,
-                              plan.ends, plan.nnz, a_vals, b_vals)
+    return spgemm_numeric_idx(plan.a_idx, plan.b_idx, plan.pads,
+                              plan.slot_pos, plan.nnz, a_vals, b_vals)
 
 
 @dataclass
@@ -117,16 +150,9 @@ def rap_numeric(plan: RapPlan, r_vals, a_vals, p_vals):
     return spgemm_numeric(plan.rap, ra_vals, p_vals)
 
 
-def _df_split64(v):
-    """f64 → (hi, lo) f32 pair with hi + lo == v to f32-pair precision."""
-    hi = v.astype(jnp.float32)
-    lo = (v - hi.astype(jnp.float64)).astype(jnp.float32)
-    return hi, lo
-
-
-def spgemm_numeric_idx(a_idx, b_idx, out_idx, ends, nnz: int,
+def spgemm_numeric_idx(a_idx, b_idx, pads, slot_pos, nnz: int,
                        a_vals, b_vals):
-    """spgemm_numeric with the expansion indices as EXPLICIT arguments.
+    """spgemm_numeric with the plan arrays as EXPLICIT arguments.
 
     Closing over the plan arrays bakes them into the executable as HLO
     literal constants — at n=262k the RAP expansion triples run to
@@ -134,38 +160,31 @@ def spgemm_numeric_idx(a_idx, b_idx, out_idx, ends, nnz: int,
     (HTTP 413; same constraint as Solver.solve_fn_args). Pass them as jit
     arguments instead; only `nnz` is static.
 
-    Reduction: cumsum-diff over the slot-sorted triples (two gathers +
-    one prefix sum) off-TPU; on TPU at f64 it falls back to the scatter
-    segment_sum — an emulated-f64 cumsum at this size (6.4M elements,
-    level-0 RAP at n=262k) SIGSEGVs the TPU AOT compiler, and a
-    compensated double-float associative_scan, while numerically right,
-    compiles for tens of minutes through the remote-compile tunnel. The
-    f64 scatter measures 1.5 s for the 6.4M-pair level-0 product on v5e
-    (~4M updates/s — TPU scatter serializes) and compiles in seconds."""
+    Reduction (see SpgemmPlan): contributions gathered per pad class and
+    row-summed densely, output assembled by ONE permutation gather —
+    scatter-free and scan-free, so it is both fast on TPU (gathers +
+    vector adds are bandwidth-bound) and safe for the TPU AOT compiler.
+    """
     if nnz == 0:
         return jnp.zeros(0, dtype=jnp.result_type(a_vals, b_vals))
-    out_dtype = jnp.result_type(a_vals, b_vals)
     contrib = a_vals[a_idx] * b_vals[b_idx]
-    if (out_dtype == jnp.dtype(jnp.float64)
-            and jax.default_backend() == "tpu"):
-        # NOTE: no indices_are_sorted hint — measured SLOWER with it on
-        # v5e (2.04 s vs 1.53 s for the 6.4M-pair product).
-        return jax.ops.segment_sum(contrib, out_idx, num_segments=nnz)
-    seg = jnp.cumsum(contrib)[ends]
-    return jnp.diff(seg, prepend=jnp.zeros(1, seg.dtype)).astype(out_dtype)
+    contrib_ext = jnp.concatenate(
+        [contrib, jnp.zeros(1, dtype=contrib.dtype)])
+    parts = [contrib_ext[p].sum(axis=1) for p in pads]
+    return jnp.concatenate(parts)[slot_pos]
 
 
 def rap_numeric_idx(plan_idx, nnz_ra: int, nnz_rap: int,
                     r_vals, a_vals, p_vals):
-    """Device numeric RAP with plan indices as arguments (see
+    """Device numeric RAP with plan arrays as arguments (see
     spgemm_numeric_idx). `plan_idx` is the 8-tuple
-    (ra.a_idx, ra.b_idx, ra.out_idx, ra.ends,
-     rap.a_idx, rap.b_idx, rap.out_idx, rap.ends)."""
-    (ra_ai, ra_bi, ra_oi, ra_en,
-     rap_ai, rap_bi, rap_oi, rap_en) = plan_idx
-    ra_vals = spgemm_numeric_idx(ra_ai, ra_bi, ra_oi, ra_en, nnz_ra,
+    (ra.a_idx, ra.b_idx, ra.pads, ra.slot_pos,
+     rap.a_idx, rap.b_idx, rap.pads, rap.slot_pos)."""
+    (ra_ai, ra_bi, ra_pd, ra_sp,
+     rap_ai, rap_bi, rap_pd, rap_sp) = plan_idx
+    ra_vals = spgemm_numeric_idx(ra_ai, ra_bi, ra_pd, ra_sp, nnz_ra,
                                  r_vals, a_vals)
-    return spgemm_numeric_idx(rap_ai, rap_bi, rap_oi, rap_en, nnz_rap,
+    return spgemm_numeric_idx(rap_ai, rap_bi, rap_pd, rap_sp, nnz_rap,
                               ra_vals, p_vals)
 
 

@@ -494,9 +494,9 @@ class HierarchyRefresher:
             # remote-compile tunnel rejects constant-embedding programs
             # (HTTP 413 — see spgemm_device.spgemm_numeric_idx).
             self._plan_idx.append((plan.ra.a_idx, plan.ra.b_idx,
-                                   plan.ra.out_idx, plan.ra.ends,
+                                   plan.ra.pads, plan.ra.slot_pos,
                                    plan.rap.a_idx, plan.rap.b_idx,
-                                   plan.rap.out_idx, plan.rap.ends))
+                                   plan.rap.pads, plan.rap.slot_pos))
             self._rp_vals.append((jnp.asarray(m["R"].vals),
                                   jnp.asarray(m["P"].vals)))
             self._nnz_pairs.append((plan.ra.nnz, plan.rap.nnz))
