@@ -387,10 +387,16 @@ def _make_distributed(solver_name: str, A, args, params):
         return DistributedAmg(A, mesh, dtype=dtype, **kw)
     if solver_name in ("cg", "cg_ir") and args.precond in ("amg",
                                                            "amg_classical"):
-        from lsbench_tpu.parallel.dist_amg import DistributedAmgCg
+        from lsbench_tpu.parallel.dist_amg import (DistributedAmgCg,
+                                                   DistributedAmgCgIr)
         if args.precond == "amg_classical":
             kw.update(coarsening="classical", theta=0.5, interp="jacobi",
                       interp_passes=3, interp_omega=0.5, pmax=8)
+        if solver_name == "cg_ir" or mixed:
+            # f32 AMG-CG inner + df64 refinement: the honest 1e-10 AMG
+            # route over a mesh (f32 cycles floor at true ~3e-5).
+            kw.setdefault("rtol", 1e-10)
+            return DistributedAmgCgIr(A, mesh, **kw)
         return DistributedAmgCg(A, mesh, dtype=dtype, **kw)
     kw["ordering"] = params.get("ordering", "none")
     if solver_name in ("bicgstab", "ginkgo"):

@@ -69,3 +69,43 @@ def test_dist_amg_classical_coarsening(mesh8):
     assert res.converged
     np.testing.assert_allclose(
         res.x, np.linalg.solve(A.to_dense(), b), rtol=1e-6)
+
+
+def test_dist_amg_cg_ir_reaches_direct_tolerance():
+    """Mixed-precision distributed AMG-CG (f32 cycles + df64 refinement):
+    true relres <= 1e-10 — the f32-cycle floor (~3e-5 true) removed."""
+    import jax
+    import pytest
+
+    from lsbench_tpu.matrix.io import read_matrix
+    from lsbench_tpu.parallel.dist_amg import DistributedAmgCgIr
+    from lsbench_tpu.parallel.mesh import make_row_mesh
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 simulated devices")
+
+    A = read_matrix("/root/reference/tests/xn3b_A_18.txt")
+    b = np.arange(A.nrows, dtype=np.float64)
+    s = DistributedAmgCgIr(A, make_row_mesh(8), rtol=1e-10,
+                           coarsening="classical", theta=0.5,
+                           interp="jacobi", interp_passes=3,
+                           interp_omega=0.5, pmax=8)
+    res = s.solve(b)
+    assert res.converged
+    assert res.extra["precision_mode"] == "fp32_ir_auto"
+    tr = (np.linalg.norm(b - A.matvec(np.asarray(res.x, np.float64)))
+          / np.linalg.norm(b))
+    assert tr <= 1e-10, tr
+
+
+def test_cli_dist_amg_cg_ir_route(capsys):
+    import json
+
+    from lsbench_tpu.harness.cli import main
+    rc = main(["--matrix", "/root/reference/tests/xn3b_A_18.txt",
+               "--solver", "cg_ir", "--precond", "amg_classical",
+               "--devices", "2", "--trials", "1", "--json",
+               "--platform", "cpu"])
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["refine_passes"] >= 1
+    assert rec["true_relres"] <= 1e-9
