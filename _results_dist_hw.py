@@ -90,6 +90,16 @@ def main():
                                    coarsening="classical", theta=0.25),
           b)
 
+    from lsbench_tpu.parallel.dist_amg import DistributedAmgCgIr
+
+    # Honest 1e-10 distributed AMG: f32 AMG-CG inner + df64 refinement.
+    bench("dist_amg_cg_ir_1dev",
+          lambda: DistributedAmgCgIr(A, mesh, rtol=1e-10,
+                                     coarsening="classical", theta=0.5,
+                                     interp="jacobi", interp_passes=3,
+                                     interp_omega=0.5, pmax=8),
+          b)
+
     # Shared-subspace vs simultaneous block CG, k=8 (VERDICT r2 item 4).
     from lsbench_tpu.solvers.block_cg import BlockCgSolver
 
