@@ -166,9 +166,9 @@ def main():
     extra = {}
     try:
         from lsbench_tpu.solvers.block_cg import BlockCgSolver
+        rng8 = np.random.default_rng(3)
         B8 = np.column_stack(
-            [b] + [np.random.default_rng(3).standard_normal(n)
-                   for _ in range(7)])
+            [b] + [rng8.standard_normal(n) for _ in range(7)])
         bsolver = BlockCgSolver(A0, rtol=1e-10, ordering="rcm")
         bres = bsolver.solve(B8)
         fn8 = bsolver.solve_fn()

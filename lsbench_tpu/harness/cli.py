@@ -247,6 +247,12 @@ def main(argv=None) -> int:
         cls = ir_cls
         if solver_name in ir_map:
             solver_name = target
+        # Mark the precision structure for the distributed dispatcher:
+        # a non-cg-family alias (e.g. ginkgo->bicgstab_ir) keeps its
+        # spelled name, and without this mark the --devices path would
+        # silently build a plain fp64 solver under a record that says
+        # fp32_ir (the substitution-visibility rule, harness/bench.py).
+        params["dtype"] = "mixed"
     else:
         params["dtype"] = PRECISION_DTYPES[precision]
     params["ordering"] = ordering
@@ -399,6 +405,11 @@ def _make_distributed(solver_name: str, A, args, params):
             return DistributedAmgCgIr(A, mesh, **kw)
         return DistributedAmgCg(A, mesh, dtype=dtype, **kw)
     kw["ordering"] = params.get("ordering", "none")
+    # Distributed --opt knobs (the AMG branch already forwards its own).
+    for k in ("local_spmv", "strategy", "inner_rtol", "max_refine",
+              "row_align", "precond", "block_size", "restart"):
+        if k in params:
+            kw[k] = params[k]
     if solver_name in ("bicgstab", "ginkgo"):
         from lsbench_tpu.parallel.dist_bicgstab import DistributedBicgstab
         if solver_name == "ginkgo":

@@ -62,10 +62,8 @@ class DistributedCg(Solver):
         self.n = A.nrows
         self.n_pad = dm.n_pad
         plan = dm.plan
-        use_bsr = dm.local_spmv == "bsr"
         op_args, op_specs = dm.op_args, dm.op_specs
 
-        row_shard = NamedSharding(mesh, P(ROWS, None))
         vec_shard = NamedSharding(mesh, P(ROWS))
         self.vec_shard = vec_shard
 

@@ -409,6 +409,7 @@ def build_matrix_hierarchy(A: CsrMatrix, opts: AmgOptions,
 # In-process memo of refreshers so repeated same-pattern re-setups skip
 # the host symbolic pass entirely (the plans are static per pattern).
 _REFRESHERS: dict[str, "HierarchyRefresher"] = {}
+_REFRESHERS_MAX = 4
 
 
 def _pattern_hit_refresh(A: CsrMatrix, pat_key: str, exact_key: str,
@@ -434,7 +435,17 @@ def _pattern_hit_refresh(A: CsrMatrix, pat_key: str, exact_key: str,
                 for l in range(nlev)]
         if nlev == 0:
             return None
-        refresher = HierarchyRefresher(mats, _unpack_csr(hit, "coarse"))
+        try:
+            refresher = HierarchyRefresher(mats, _unpack_csr(hit, "coarse"))
+        except ValueError:
+            # Stale/incompatible pattern entry (e.g. from an older code
+            # version): a best-effort cache must fall back to a full
+            # rebuild, never abort the solve.
+            return None
+        if len(_REFRESHERS) >= _REFRESHERS_MAX:
+            # Bounded memo: each refresher pins expansion-triple index
+            # arrays (hundreds of MB at n=262k) on device.
+            _REFRESHERS.pop(next(iter(_REFRESHERS)))
         _REFRESHERS[pat_key] = refresher
 
     t0 = _time.perf_counter()
@@ -442,17 +453,13 @@ def _pattern_hit_refresh(A: CsrMatrix, pat_key: str, exact_key: str,
     if breakdown is not None:
         breakdown["hier_cache"] = "pattern_hit_device_rap"
         breakdown["rap_device_s"] = _time.perf_counter() - t0
-    # Store the refreshed hierarchy under its exact key too.
-    out = {"n_levels": np.asarray([len(mats)], dtype=np.int64)}
-    for l, m in enumerate(mats):
-        _pack_csr(out, f"l{l}_A", m["A"])
-        _pack_csr(out, f"l{l}_P", m["P"])
-        _pack_csr(out, f"l{l}_R", m["R"])
-        out[f"l{l}_dinv"] = m["dinv"]
-        out[f"l{l}_dinv_l1"] = m["dinv_l1"]
-        out[f"l{l}_rho"] = np.asarray([m["rho"]])
-    _pack_csr(out, "coarse", Acoarse)
-    cache.store_arrays("amg_hier", exact_key, out)
+    # Deliberately NOT stored under the exact key: the refreshed
+    # hierarchy has FROZEN (lagged) transfer operators from the pattern
+    # entry's original values; storing it as this matrix's exact entry
+    # would make later runs serve the lagged hierarchy labeled
+    # "exact_hit", silently dependent on cache insertion order. Repeat
+    # refreshes stay fast through the in-process memo.
+    del exact_key
     return mats, Acoarse
 
 

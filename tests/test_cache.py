@@ -129,9 +129,13 @@ def test_amg_pattern_hit_device_rap(tmp_path):
         d2 = A2.diagonal()
         np.testing.assert_allclose(mats2[0]["dinv"], 1.0 / d2, rtol=1e-13)
 
-        # Exact re-run now hits exactly.
+        # Exact re-run pattern-hits AGAIN (refreshed hierarchies are
+        # deliberately not stored under the exact key: they carry frozen
+        # transfer operators from the pattern entry's original values,
+        # and labeling them "exact_hit" would make results silently
+        # depend on cache insertion order). Fast via the in-process memo.
         bd3 = {}
         build_matrix_hierarchy(A2, opts, breakdown=bd3)
-        assert bd3["hier_cache"] == "exact_hit"
+        assert bd3["hier_cache"] == "pattern_hit_device_rap"
     finally:
         cache.enable(False)
