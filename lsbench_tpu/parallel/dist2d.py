@@ -36,6 +36,7 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from lsbench_tpu.matrix.csr import CsrMatrix
+from lsbench_tpu.parallel.dist_spmv import fused_psum
 from lsbench_tpu.parallel.mesh import COLS, ROWS
 from lsbench_tpu.solvers.base import SolveResult, Solver
 
@@ -152,21 +153,18 @@ class DistributedCg2d(Solver):
             vals_l = vals_l.reshape(vals_l.shape[2:])
             cols_l = cols_l.reshape(cols_l.shape[2:])
 
-            def fused_psum(*scalars):
-                s = jax.lax.psum(jnp.stack(scalars), both)
-                return tuple(s[i] for i in range(len(scalars)))
 
             def matvec(p_l):
                 return spmv_2d_local(vals_l, cols_l, p_l)
 
-            (bb,) = fused_psum(jnp.vdot(b_l, b_l))
+            (bb,) = fused_psum(jnp.vdot(b_l, b_l), axis=both)
             tol2 = (rtol_c ** 2) * bb
 
             x0 = jnp.zeros_like(b_l)
             r0 = b_l
             z0 = inv_diag_l * r0
             p0 = z0
-            rz0, rr0 = fused_psum(jnp.vdot(r0, z0), jnp.vdot(r0, r0))
+            rz0, rr0 = fused_psum(jnp.vdot(r0, z0), jnp.vdot(r0, r0), axis=both)
 
             def cond(s):
                 *_, rr, it = s
@@ -175,12 +173,12 @@ class DistributedCg2d(Solver):
             def body(s):
                 x, r, p, rz, rr, it = s
                 Ap = matvec(p)
-                (pAp,) = fused_psum(jnp.vdot(p, Ap))
+                (pAp,) = fused_psum(jnp.vdot(p, Ap), axis=both)
                 alpha = rz / pAp
                 x = x + alpha * p
                 r = r - alpha * Ap
                 z = inv_diag_l * r
-                rz_new, rr_new = fused_psum(jnp.vdot(r, z), jnp.vdot(r, r))
+                rz_new, rr_new = fused_psum(jnp.vdot(r, z), jnp.vdot(r, r), axis=both)
                 beta = rz_new / rz
                 p = z + beta * p
                 return (x, r, p, rz_new, rr_new, it + 1)
@@ -259,12 +257,9 @@ class DistributedBicgstab2d(Solver):
             def matvec(p_l):
                 return spmv_2d_local(vals_l, cols_l, p_l)
 
-            def fused_psum(*scalars):
-                s = jax.lax.psum(jnp.stack(scalars), both)
-                return tuple(s[i] for i in range(len(scalars)))
 
             r0 = b_l
-            (r0n2,) = fused_psum(jnp.vdot(r0, r0))
+            (r0n2,) = fused_psum(jnp.vdot(r0, r0), axis=both)
             tol2 = (rtol_c ** 2) * r0n2
             one = jnp.asarray(1.0, dt)
             init = (jnp.zeros_like(b_l), r0, jnp.zeros_like(b_l),
@@ -276,21 +271,21 @@ class DistributedBicgstab2d(Solver):
 
             def body(s):
                 x, r, p, v, rho, alpha, omega, rr, it = s
-                (rho_new,) = fused_psum(jnp.vdot(r0, r))
+                (rho_new,) = fused_psum(jnp.vdot(r0, r), axis=both)
                 beta = (rho_new / rho) * (alpha / omega)
                 p = r + beta * (p - omega * v)
                 ph = inv_diag_l * p
                 v = matvec(ph)
-                (r0v,) = fused_psum(jnp.vdot(r0, v))
+                (r0v,) = fused_psum(jnp.vdot(r0, v), axis=both)
                 alpha = rho_new / r0v
                 sv = r - alpha * v
                 sh = inv_diag_l * sv
                 t = matvec(sh)
-                tt, ts = fused_psum(jnp.vdot(t, t), jnp.vdot(t, sv))
+                tt, ts = fused_psum(jnp.vdot(t, t), jnp.vdot(t, sv), axis=both)
                 omega = jnp.where(tt > 0, ts / tt, jnp.zeros_like(tt))
                 x = x + alpha * ph + omega * sh
                 r = sv - omega * t
-                (rr_new,) = fused_psum(jnp.vdot(r, r))
+                (rr_new,) = fused_psum(jnp.vdot(r, r), axis=both)
                 return (x, r, p, v, rho_new, alpha, omega, rr_new, it + 1)
 
             x, r, p, v, rho, alpha, omega, rr, it = jax.lax.while_loop(

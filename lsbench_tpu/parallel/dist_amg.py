@@ -33,6 +33,7 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from lsbench_tpu.matrix.csr import CsrMatrix
+from lsbench_tpu.parallel.dist_spmv import fused_psum
 from lsbench_tpu.parallel.mesh import ROWS, fetch_global
 from lsbench_tpu.solvers.amg import AmgOptions, build_matrix_hierarchy
 from lsbench_tpu.solvers.base import SolveResult, Solver
@@ -396,9 +397,6 @@ class DistributedAmgCg(_DistAmgBase):
             def precond(r_l):
                 return cycle(levels, coarse_L, 0, r_l, jnp.zeros_like(r_l))
 
-            def fused_psum(*scalars):
-                s = jax.lax.psum(jnp.stack(scalars), ROWS)
-                return tuple(s[i] for i in range(len(scalars)))
 
             (bb,) = fused_psum(jnp.vdot(b_l, b_l))
             tol2 = (rtol_c ** 2) * bb
@@ -491,9 +489,6 @@ class DistributedAmgCgIr(_DistAmgBase):
             b_l = rest[n64]
             fine = levels[0]
 
-            def fused_psum(*scalars):
-                s = jax.lax.psum(jnp.stack(scalars), ROWS)
-                return tuple(s[i] for i in range(len(scalars)))
 
             def amg_cg_inner(rhs_l):
                 """f32 AMG-preconditioned CG of A d = rhs to inner_rtol."""

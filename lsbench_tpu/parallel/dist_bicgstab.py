@@ -18,7 +18,8 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from lsbench_tpu.matrix.csr import CsrMatrix
-from lsbench_tpu.parallel.dist_spmv import build_dist_matvec
+from lsbench_tpu.parallel.dist_spmv import (build_dist_matvec,
+                                            fused_psum)
 from lsbench_tpu.parallel.mesh import ROWS, fetch_global
 from lsbench_tpu.solvers.base import SolveResult, Solver
 
@@ -69,9 +70,6 @@ class DistributedBicgstab(Solver):
             def matvec(p_l):
                 return local_matvec(tuple(op_l), p_l)
 
-            def fused_psum(*scalars):
-                s = jax.lax.psum(jnp.stack(scalars), ROWS)
-                return tuple(s[i] for i in range(len(scalars)))
 
             r0 = b_l
             (r0n2,) = fused_psum(jnp.vdot(r0, r0))

@@ -25,7 +25,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from lsbench_tpu.matrix.csr import CsrMatrix
 from lsbench_tpu.parallel.dist_spmv import (build_dist_matvec,
-                                            force_global_cols)
+                                            force_global_cols, fused_psum)
 from lsbench_tpu.parallel.mesh import ROWS, fetch_global
 from lsbench_tpu.solvers.base import SolveResult, Solver
 
@@ -118,9 +118,6 @@ class DistributedCg(Solver):
         def _cg(*args):
             *op_l, inv_diag_l, b_l = args
 
-            def fused_psum(*scalars):
-                s = jax.lax.psum(jnp.stack(scalars), ROWS)
-                return tuple(s[i] for i in range(len(scalars)))
 
             def matvec(p_l):
                 return local_matvec(tuple(op_l), p_l)

@@ -27,7 +27,8 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from lsbench_tpu.matrix.csr import CsrMatrix
-from lsbench_tpu.parallel.dist_spmv import build_dist_matvec
+from lsbench_tpu.parallel.dist_spmv import (build_dist_matvec,
+                                            fused_psum)
 from lsbench_tpu.parallel.mesh import ROWS, fetch_global
 from lsbench_tpu.parallel.perm import resolve_dist_ordering
 from lsbench_tpu.solvers.base import SolveResult, Solver
@@ -95,9 +96,6 @@ class DistributedCgIr(Solver):
             op64_l = tuple(args[n32:-2])
             invd_l, b_l = args[-2:]
 
-            def fused_psum(*scalars):
-                s = jax.lax.psum(jnp.stack(scalars), ROWS)
-                return tuple(s[i] for i in range(len(scalars)))
 
             def cg_inner(rhs_l):
                 """f32 Jacobi-CG of A d = rhs to inner_rtol (relative)."""

@@ -174,6 +174,19 @@ def build_halo_bsr_plan(A: CsrMatrix, n_devices: int, dtype=jnp.float32,
         n_ext=n_ext, needs_all_gather=False)
 
 
+def fused_psum(*scalars, axis=ROWS):
+    """One collective for all of an iteration's scalar reductions.
+
+    Stacks the scalars and issues a SINGLE `psum` — the latency-bound
+    part of a distributed Krylov iteration is its reductions, so every
+    solver here batches them (SURVEY.md §2.2: "one fused psum per CG
+    iteration"). Call only inside shard_map over `axis` (an axis name or
+    tuple of names for 2-D meshes).
+    """
+    s = jax.lax.psum(jnp.stack(scalars), axis)
+    return tuple(s[i] for i in range(len(scalars)))
+
+
 def _halo_exchange(x_l, H: int):
     """Ring-exchange the H boundary entries (rows) of the local x
     (ppermute); works for (nloc,) vectors and (nloc, k) blocks alike."""
