@@ -96,12 +96,14 @@ def run_dryrun(n_devices: int) -> None:
               / np.linalg.norm(B[:, j]))
         assert rk < 1e-4, (j, res_k.iters, rk)
 
-    # 2-D block partition (all_gather over rows + psum_scatter over cols).
+    # 2-D block partition (all_gather over rows + psum_scatter over cols),
+    # on the Pallas-BSR local SpMV (interpret mode off-TPU).
     if n_devices % 2 == 0 and n_devices >= 4:
         from lsbench_tpu.parallel.dist2d import DistributedCg2d
         from lsbench_tpu.parallel.mesh import make_mesh_2d
         mesh2 = make_mesh_2d(2, n_devices // 2)
-        res3 = DistributedCg2d(A, mesh2, dtype=jnp.float64, rtol=1e-10).solve(b)
+        res3 = DistributedCg2d(A, mesh2, dtype=jnp.float64, rtol=1e-10,
+                               local_spmv="bsr").solve(b)
         x3 = np.asarray(res3.x)
         r3 = np.linalg.norm(b - A.matvec(x3)) / np.linalg.norm(b)
         assert res3.converged and r3 < 1e-8, (res3.iters, res3.relres, r3)

@@ -79,3 +79,49 @@ def test_bicgstab_2d_converges_and_matches():
     # Ginkgo protocol default: implicit resnorm 1e-4 of initial.
     res2 = DistributedBicgstab2d(A, make_mesh_2d(2, 4)).solve(b)
     assert res2.converged and res2.relres <= 1e-4
+
+
+def test_cg2d_bsr_matches_ell():
+    """VERDICT r2 item 2's last gap: the Pallas BSR local SpMV on the 2-D
+    partition (interpret mode on CPU) must agree with the gather-ELL
+    path — same solver, same mesh, same rtol."""
+    import jax
+    import pytest
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 simulated devices")
+    from lsbench_tpu.parallel.dist2d import DistributedCg2d
+    from lsbench_tpu.parallel.mesh import make_mesh_2d
+
+    A = poisson_2d(24)
+    b = make_rhs(A.nrows)
+    mesh = make_mesh_2d(2, 2)
+    out = {}
+    for spmv in ("ell", "bsr"):
+        s = DistributedCg2d(A, mesh, dtype=jnp.float64, rtol=1e-10,
+                            local_spmv=spmv)
+        assert s.local_spmv == spmv
+        res = s.solve(b)
+        assert res.converged
+        out[spmv] = np.asarray(res.x, np.float64)
+    np.testing.assert_allclose(out["bsr"], out["ell"], rtol=1e-8, atol=1e-9)
+    rr = np.linalg.norm(b - A.matvec(out["bsr"])) / np.linalg.norm(b)
+    assert rr < 1e-9
+
+
+def test_bicgstab2d_bsr_path():
+    import jax
+    import pytest
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 simulated devices")
+    from lsbench_tpu.parallel.dist2d import DistributedBicgstab2d
+    from lsbench_tpu.parallel.mesh import make_mesh_2d
+
+    A = poisson_2d(20)
+    b = make_rhs(A.nrows)
+    s = DistributedBicgstab2d(A, make_mesh_2d(2, 2), dtype=jnp.float64,
+                              rtol=1e-8, local_spmv="bsr")
+    assert s.local_spmv == "bsr"
+    res = s.solve(b)
+    assert res.converged
+    rr = np.linalg.norm(b - A.matvec(np.asarray(res.x))) / np.linalg.norm(b)
+    assert rr < 1e-7
