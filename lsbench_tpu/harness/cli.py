@@ -373,6 +373,8 @@ def _make_distributed(solver_name: str, A, args, params):
                   f"--devices={args.devices}", file=sys.stderr)
             return None
         mesh2 = make_mesh_2d(pr, pc)
+        if "local_spmv" in params:
+            kw["local_spmv"] = params["local_spmv"]
         if solver_name in ("bicgstab", "ginkgo"):
             if solver_name == "ginkgo":
                 kw.setdefault("rtol", 1e-4)  # ginkgo.cpp:61
