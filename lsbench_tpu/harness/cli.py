@@ -375,6 +375,7 @@ def _make_distributed(solver_name: str, A, args, params):
         mesh2 = make_mesh_2d(pr, pc)
         if "local_spmv" in params:
             kw["local_spmv"] = params["local_spmv"]
+        kw["ordering"] = params.get("ordering", "none")
         if solver_name in ("bicgstab", "ginkgo"):
             if solver_name == "ginkgo":
                 kw.setdefault("rtol", 1e-4)  # ginkgo.cpp:61

@@ -286,10 +286,12 @@ class DistributedCg2d(Solver):
 
     def __init__(self, A: CsrMatrix, mesh: Mesh, dtype=jnp.float64,
                  rtol=1e-8, maxiter=None, local_spmv: str = "auto",
-                 **params):
+                 ordering: str = "none", **params):
         super().__init__(A, **params)
         if set(mesh.axis_names) != {ROWS, COLS}:
             raise ValueError(f"need a ({ROWS},{COLS}) mesh, got {mesh.axis_names}")
+        from lsbench_tpu.parallel.perm import resolve_dist_ordering
+        A, self._ord = resolve_dist_ordering(A, ordering)
         self.mesh = mesh
         self.dtype = jnp.dtype(dtype)
         self.rtol = float(rtol)
@@ -357,7 +359,7 @@ class DistributedCg2d(Solver):
         self._jit_cg = jax.jit(_cg)
 
     def _pad_b(self, b):
-        b = jnp.asarray(b, dtype=self.dtype)
+        b = jnp.asarray(self._ord.permute_b(b), dtype=self.dtype)
         if b.shape[0] != self.n:
             raise ValueError(f"b has {b.shape[0]} entries, expected {self.n}")
         bp = jnp.zeros(self.n_pad, dtype=self.dtype).at[: self.n].set(b)
@@ -366,7 +368,7 @@ class DistributedCg2d(Solver):
     def solve(self, b) -> SolveResult:
         x, relres, iters = self._jit_cg(*self._args, self._pad_b(b))
         relres = float(relres)
-        x_host = np.asarray(x)[: self.n]
+        x_host = self._ord.unpermute_x(np.asarray(x)[: self.n])
         return SolveResult(x=x_host, iters=int(iters), relres=relres,
                            converged=relres <= self.rtol,
                            extra={"mesh": (self.plan.pr, self.plan.pc),
@@ -386,10 +388,12 @@ class DistributedBicgstab2d(Solver):
 
     def __init__(self, A: CsrMatrix, mesh: Mesh, dtype=jnp.float64,
                  rtol=1e-4, maxiter=None, local_spmv: str = "auto",
-                 **params):
+                 ordering: str = "none", **params):
         super().__init__(A, **params)
         if set(mesh.axis_names) != {ROWS, COLS}:
             raise ValueError(f"need a ({ROWS},{COLS}) mesh, got {mesh.axis_names}")
+        from lsbench_tpu.parallel.perm import resolve_dist_ordering
+        A, self._ord = resolve_dist_ordering(A, ordering)
         self.mesh = mesh
         self.dtype = jnp.dtype(dtype)
         self.rtol = float(rtol)
@@ -459,7 +463,7 @@ class DistributedBicgstab2d(Solver):
         self._jit = jax.jit(_run)
 
     def _pad_b(self, b):
-        b = jnp.asarray(b, dtype=self.dtype)
+        b = jnp.asarray(self._ord.permute_b(b), dtype=self.dtype)
         bp = jnp.zeros(self.n_pad, dtype=self.dtype).at[: self.n].set(b)
         return jax.device_put(bp, self.vec_shard)
 
@@ -467,7 +471,8 @@ class DistributedBicgstab2d(Solver):
         x, rnorm, bnorm, iters = self._jit(*self._args, self._pad_b(b))
         rnorm, bnorm = float(rnorm), float(bnorm)
         relres = rnorm / bnorm if bnorm > 0 else 0.0
-        return SolveResult(x=np.asarray(x)[: self.n], iters=int(iters),
+        return SolveResult(x=self._ord.unpermute_x(np.asarray(x)[: self.n]),
+                           iters=int(iters),
                            relres=relres,
                            converged=relres <= self.rtol or bnorm == 0.0,
                            extra={"mesh": (self.plan.pr, self.plan.pc)})

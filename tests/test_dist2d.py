@@ -125,3 +125,24 @@ def test_bicgstab2d_bsr_path():
     assert res.converged
     rr = np.linalg.norm(b - A.matvec(np.asarray(res.x))) / np.linalg.norm(b)
     assert rr < 1e-7
+
+
+def test_cg2d_ordering_roundtrip():
+    """RCM inside the 2-D solver (densifies the gathered-frame BSR
+    blocks) must be invisible outside."""
+    import jax
+    import pytest
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 simulated devices")
+    from lsbench_tpu.matrix.io import read_matrix
+    from lsbench_tpu.parallel.dist2d import DistributedCg2d
+    from lsbench_tpu.parallel.mesh import make_mesh_2d
+
+    A = read_matrix("/root/reference/tests/xn3b_A_18.txt")
+    b = np.arange(A.nrows, dtype=np.float64)
+    s = DistributedCg2d(A, make_mesh_2d(2, 2), dtype=jnp.float64,
+                        rtol=1e-10, ordering="rcm")
+    res = s.solve(b)
+    assert res.converged
+    rr = np.linalg.norm(b - A.matvec(np.asarray(res.x))) / np.linalg.norm(b)
+    assert rr < 1e-9
