@@ -110,8 +110,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="multi-host: this process's id (omit on TPU pods)")
     p.add_argument("--mesh", default=None, metavar="RxC",
                    help="2-D device mesh for --devices runs, e.g. 2x4 "
-                        "(cg only: all_gather over rows + psum_scatter "
-                        "over cols, parallel/dist2d.py)")
+                        "(cg/bicgstab/ginkgo: all_gather over rows + "
+                        "psum_scatter over cols, Pallas BSR or ELL local "
+                        "SpMV, parallel/dist2d.py)")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (fail fast on NaN/Inf in any "
                         "kernel — the sanitizer role, SURVEY.md §5)")
