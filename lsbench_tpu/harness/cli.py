@@ -93,8 +93,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="setup-cache directory (default ~/.cache/lsbench_tpu)")
     p.add_argument("--devices", type=int, default=None,
                    help="run the solve block-row-sharded over N devices "
-                        "(cg / cg_ir / gmres / ginkgo / amg / hypre / amgx "
-                        "/ paralmond). --devices 1 runs the full "
+                        "(cg / cg_ir / gmres / bicgstab / ginkgo / amg / "
+                        "hypre / amgx / paralmond; --nrhs k composes via "
+                        "block_cg). --devices 1 runs the full "
                         "shard_map/halo/Pallas-BSR plumbing on a 1-device "
                         "mesh; omit for the single-chip kernels. Use "
                         "XLA_FLAGS=--xla_force_host_platform_device_count=N "
