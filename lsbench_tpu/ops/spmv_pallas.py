@@ -464,6 +464,30 @@ def spmv_bsr_df64(A, x: jax.Array, interpret: bool | None = None
     return y.reshape(-1)[: A.nrows]
 
 
+def spmv_bsr_df64_lo(A, blocks_lo: jax.Array, x: jax.Array,
+                     interpret: bool | None = None) -> jax.Array:
+    """Double-float SpMV with the HI blocks taken from a BsrMatrix.
+
+    `A` is the f32 BsrMatrix whose `blocks` ARE the df64 hi array (the f64
+    values rounded once to f32 — bit-identical to BsrDf64.blocks_hi for
+    the same layout); `blocks_lo` carries only the compensation term.
+    Lets mixed-precision solvers (solvers/refine.py) ship one shared
+    ~nnz-sized hi operand instead of duplicating it, cutting per-dispatch
+    staging and VMEM pressure in the fused solve program."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n_cb = A.n_col_blocks
+    x = x.astype(jnp.float64)
+    x_pad = jnp.zeros(n_cb * BC, dtype=jnp.float64).at[: A.ncols].set(x)
+    xh = x_pad.astype(jnp.float32)
+    xl = (x_pad - xh.astype(jnp.float64)).astype(jnp.float32)
+    yh, yl = _spmv_bsr_df64_call(
+        A.block_cols, xh.reshape(n_cb, BC), xl.reshape(n_cb, BC),
+        A.blocks, blocks_lo, br=A.br, interpret=interpret)
+    y = yh.astype(jnp.float64) + yl.astype(jnp.float64)
+    return y.reshape(-1)[: A.nrows]
+
+
 def _kernel_compact(idx_ref, x_ref, blocks_ref, o_ref, *, bps: int):
     """Exact-block variant: K blocks per step, whole output resident in
     VMEM, per-block scatter-accumulate into its row group.

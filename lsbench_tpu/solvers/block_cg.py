@@ -260,12 +260,16 @@ class BlockCgSolver(Solver):
         on_tpu = jax.default_backend() == "tpu"
         if on_tpu:
             from lsbench_tpu.matrix.bsr import BsrDf64, BsrMatrix
-            from lsbench_tpu.ops.spmv_pallas import spmm_bsr, spmv_bsr_df64
+            from lsbench_tpu.ops.spmv_pallas import (spmm_bsr,
+                                                     spmv_bsr_df64_lo)
             self._op = BsrMatrix.from_csr(Ap)
-            self._op64 = BsrDf64.from_csr(Ap)
+            # df64 hi blocks are bit-identical to self._op.blocks; ship
+            # only the LO compensation array (refine.py's sharing — one
+            # fewer ~nnz operand staged per dispatch, less VMEM pressure).
+            self._op64 = BsrDf64.from_csr(Ap).blocks_lo
             self.stream_bytes = self._op.bytes_streamed
             mm32 = spmm_bsr
-            mv64 = spmv_bsr_df64
+            mv64 = None
         else:
             from lsbench_tpu.matrix.ell import EllMatrix
             from lsbench_tpu.ops.spmv import spmv_ell
@@ -317,7 +321,12 @@ class BlockCgSolver(Solver):
                 # refinement PASS — ~3 passes total — vs once per inner
                 # iteration for the f32 SpMM, so the layout cost of a
                 # fused df64 SpMM isn't worth it at small k.)
-                cols = [mv64(op64, Xc[:, j]) for j in range(k)]
+                if mv64 is None:  # TPU: shared-hi df64 (op.blocks + lo)
+                    from lsbench_tpu.ops.spmv_pallas import spmv_bsr_df64_lo
+                    cols = [spmv_bsr_df64_lo(op, op64, Xc[:, j])
+                            for j in range(k)]
+                else:
+                    cols = [mv64(op64, Xc[:, j]) for j in range(k)]
                 return jnp.stack(cols, axis=1)
 
             def refine_cond(s):

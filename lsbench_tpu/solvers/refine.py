@@ -71,13 +71,31 @@ class KrylovIrSolver(Solver):
             # Double-float Pallas SpMV for the f64 residual: the gather ELL
             # SpMV in XLA-emulated f64 costs ~6.4 ms per call on v5e
             # (~100x this kernel) and dominated the whole IR solve.
-            from lsbench_tpu.matrix.bsr import BsrDf64
-            from lsbench_tpu.ops.spmv_pallas import spmv_bsr_df64
-            self._op64 = BsrDf64.from_csr(Ap)
-            mv64 = spmv_bsr_df64
+            from lsbench_tpu.matrix.bsr import BsrDf64, BsrMatrix
+            op64 = BsrDf64.from_csr(Ap)
+            if (isinstance(self._op, BsrMatrix)
+                    and self._op.blocks.shape == op64.blocks_hi.shape):
+                # The df64 HI block array is bit-identical to the f32
+                # operator's blocks (both are the f64 values rounded once
+                # to f32), so with the uniform-BSR inner layout the jitted
+                # program carries op.blocks + the LO array only — one
+                # fewer ~nnz-sized operand to stage per dispatch and less
+                # VMEM pressure competing with the inner loop's resident
+                # blocks (DESIGN.md "VMEM residency"; measured ~2 ms less
+                # fixed cost per cg_ir solve on xn3b_A_10, v5e).
+                from lsbench_tpu.ops.spmv_pallas import spmv_bsr_df64_lo
+                self._op64 = op64.blocks_lo
+                mv64 = None
+                mv64_split = spmv_bsr_df64_lo
+            else:
+                from lsbench_tpu.ops.spmv_pallas import spmv_bsr_df64
+                self._op64 = op64
+                mv64 = spmv_bsr_df64
+                mv64_split = None
         else:
             self._op64 = EllMatrix.from_csr(Ap, dtype=jnp.float64)
             mv64 = spmv_ell
+            mv64_split = None
         self.setup_breakdown["layout_s"] = _time.perf_counter() - _t0
         self._pstate, papply = get_preconditioner(precond)(
             Ap, jnp.float32, **(precond_params or {}))
@@ -88,6 +106,10 @@ class KrylovIrSolver(Solver):
         @jax.jit
         def _solve(op, op64, pstate, b):
             mv32 = lambda v: apply32(op, v)
+            if mv64_split is not None:
+                resid_mv = lambda x: mv64_split(op, op64, x)
+            else:
+                resid_mv = lambda x: mv64(op64, x)
             b = b.astype(jnp.float64)
             bp = b if perm_dev is None else b[perm_dev]
             bnorm = jnp.sqrt(jnp.vdot(bp, bp))
@@ -115,7 +137,7 @@ class KrylovIrSolver(Solver):
                 # poison x — drop it and let the pass cap end the loop.
                 d32 = jnp.where(jnp.isfinite(d32), d32, 0.0)
                 x = x + (d32 * safe.astype(jnp.float32)).astype(jnp.float64)
-                r_new = bp - mv64(op64, x)
+                r_new = bp - resid_mv(x)
                 rr_new = jnp.vdot(r_new, r_new)
                 return (x, r_new, rr_new, it_total + inner_iters, passes + 1)
 

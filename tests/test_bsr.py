@@ -144,6 +144,25 @@ def test_bsr_df64_accuracy():
     assert rel32 > 1e-9  # f32 path really is f32
 
 
+def test_bsr_df64_lo_shared_hi_matches():
+    # spmv_bsr_df64_lo (hi taken from the f32 BsrMatrix, lo shipped
+    # alone — solvers/refine.py's shared-hi operand) must be bit-equal
+    # to the two-array spmv_bsr_df64: the hi arrays are the same f64
+    # values rounded once to f32.
+    from lsbench_tpu.matrix.bsr import BsrDf64, BsrMatrix
+    from lsbench_tpu.ops.spmv_pallas import spmv_bsr_df64, spmv_bsr_df64_lo
+    from lsbench_tpu.matrix.generate import random_spd
+    A = random_spd(300, nnz_per_row=17, seed=4)
+    B64 = BsrDf64.from_csr(A)
+    B32 = BsrMatrix.from_csr(A, dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(B32.blocks),
+                                  np.asarray(B64.blocks_hi))
+    x = jnp.asarray(np.random.default_rng(3).standard_normal(A.ncols) * 50)
+    y_ref = np.asarray(spmv_bsr_df64(B64, x))
+    y_lo = np.asarray(spmv_bsr_df64_lo(B32, B64.blocks_lo, x))
+    np.testing.assert_array_equal(y_lo, y_ref)
+
+
 def test_df64_primitives_exact():
     from lsbench_tpu.ops.spmv_pallas import _two_prod, _two_sum, _split_f32
     import jax

@@ -232,6 +232,44 @@ def test_dist_cg_ir_1dev_hw():
     assert t_dist <= 2.5 * t_single, (t_dist, t_single)
 
 
+def test_cg_ir_inner_vmem_hw():
+    """Tripwire for the VMEM-resident Krylov operator (DESIGN.md §3).
+
+    The cg_ir inner loop's BSR blocks (46.8 MB on xn3b_A_10) fit in v5e
+    VMEM; XLA's memory-space assignment keeps them resident across
+    while_loop iterations for the flagship nested-refine program —
+    measured 22 µs/iter vs 68 µs/iter when the promotion is lost (the
+    HBM roofline for the 46.8 MB stream). Forced-iteration slope
+    (inner_rtol=0, 500 vs 1500) must stay ≤ 35 µs/iter: a refactor of
+    refine.py/cg.py that silently loses the promotion fails here rather
+    than tripling the flagship per-iteration cost."""
+    _require_tpu()
+    import time
+
+    from lsbench_tpu.matrix.io import read_matrix
+    from lsbench_tpu.solvers.refine import CgIrSolver
+    from lsbench_tpu.utils import host_fence
+
+    A = read_matrix("/root/reference/tests/xn3b_A_10.txt")
+    b = np.arange(A.nrows, dtype=np.float64)
+    walls = {}
+    for m in (500, 1500):
+        s = CgIrSolver(A, rtol=1e-30, inner_rtol=0.0, maxiter=m,
+                       max_refine=1, ordering="rcm")
+        fn = s.solve_fn()
+        host_fence(fn(b))
+        assert s.solve(b).iters == m
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(10):
+            out = fn(b)
+        host_fence(out)
+        walls[m] = (time.perf_counter() - t0) / 10
+    per_iter = (walls[1500] - walls[500]) / 1000
+    print(f"cg_ir inner per-iter {per_iter*1e6:.1f} us")
+    assert per_iter <= 35e-6, per_iter
+
+
 def test_dist_amg_fixed_cycle_1dev_hw():
     """The hypre-alias fixed-2-cycle protocol over a 1-device mesh on the
     real chip (hypre.c:129,185-186 role): same per-2-cycle contraction as
