@@ -187,11 +187,13 @@ def test_dist_cg_ir_1dev_hw():
     A 1-device mesh runs the FULL shard_map plumbing — ppermute halo
     exchange, Pallas BSR (f32) local SpMV, fused psums, double-float
     residual refinement. Asserts true relres ≤ 1e-10 and per-iteration
-    time ≤ 2.5× the single-chip cg_ir kernel (measured 2.3× on this rig:
-    74 vs 32 µs/iter — the halo-exchange/pad staging costs ~40 µs/iter
-    on one chip, the price that buys N-chip scaling; the round-2 target
-    of ≤2× was missed by 15% and the honest number is RECORDED in
-    RESULTS.md §6)."""
+    time ≤ 1.5× the single-chip cg_ir kernel. Round-2 measured 2.3×
+    (74 vs 32 µs/iter); round 3 closed the gap by carrying the ordering
+    as IN-JIT gathers, which lets XLA keep the sharded BSR blocks
+    VMEM-resident across inner iterations exactly as in the single-chip
+    flagship (22.8 vs 64.2 µs/iter forced-slope — DESIGN.md §3,
+    RESULTS.md §6). The round-2 ≤2× done-criterion is now met with
+    margin."""
     _require_tpu()
     import time
 
@@ -229,7 +231,7 @@ def test_dist_cg_ir_1dev_hw():
     t_single = timed_per_iter(single)
     t_dist = timed_per_iter(dist)
     print(f"per-iter: single {t_single*1e6:.0f} us, dist {t_dist*1e6:.0f} us")
-    assert t_dist <= 2.5 * t_single, (t_dist, t_single)
+    assert t_dist <= 1.5 * t_single, (t_dist, t_single)
 
 
 def test_cg_ir_inner_vmem_hw():
