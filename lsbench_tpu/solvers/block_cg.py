@@ -260,16 +260,29 @@ class BlockCgSolver(Solver):
         on_tpu = jax.default_backend() == "tpu"
         if on_tpu:
             from lsbench_tpu.matrix.bsr import BsrDf64, BsrMatrix
-            from lsbench_tpu.ops.spmv_pallas import (spmm_bsr,
+            from lsbench_tpu.ops.spmv_pallas import (spmm_bsr, spmv_bsr_df64,
                                                      spmv_bsr_df64_lo)
             self._op = BsrMatrix.from_csr(Ap)
-            # df64 hi blocks are bit-identical to self._op.blocks; ship
-            # only the LO compensation array (refine.py's sharing — one
-            # fewer ~nnz operand staged per dispatch, less VMEM pressure).
-            self._op64 = BsrDf64.from_csr(Ap).blocks_lo
+            op64_full = BsrDf64.from_csr(Ap)
+            if (self._op.br == op64_full.br
+                    and self._op.blocks.shape == op64_full.blocks_hi.shape
+                    and np.array_equal(np.asarray(self._op.block_cols),
+                                       np.asarray(op64_full.block_cols))):
+                # df64 hi blocks are bit-identical to self._op.blocks; ship
+                # only the LO compensation array (refine.py's sharing — one
+                # fewer ~nnz operand staged per dispatch, less VMEM
+                # pressure). Guarded on layout alignment like refine.py: a
+                # BsrMatrix with a different block size or slot ordering
+                # must NOT alias hi blocks it doesn't match.
+                self._op64 = op64_full.blocks_lo
+                mv64 = None
+                mv64_lo = spmv_bsr_df64_lo
+            else:
+                self._op64 = op64_full
+                mv64 = spmv_bsr_df64
+                mv64_lo = None
             self.stream_bytes = self._op.bytes_streamed
             mm32 = spmm_bsr
-            mv64 = None
         else:
             from lsbench_tpu.matrix.ell import EllMatrix
             from lsbench_tpu.ops.spmv import spmv_ell
@@ -278,6 +291,7 @@ class BlockCgSolver(Solver):
             self.stream_bytes = None
             mm32 = jax.vmap(spmv_ell, in_axes=(None, 1), out_axes=1)
             mv64 = spmv_ell
+            mv64_lo = None
         self.setup_breakdown["layout_s"] = _time.perf_counter() - _t0
 
         from lsbench_tpu.solvers.preconditioners import get_preconditioner
@@ -322,8 +336,7 @@ class BlockCgSolver(Solver):
                 # iteration for the f32 SpMM, so the layout cost of a
                 # fused df64 SpMM isn't worth it at small k.)
                 if mv64 is None:  # TPU: shared-hi df64 (op.blocks + lo)
-                    from lsbench_tpu.ops.spmv_pallas import spmv_bsr_df64_lo
-                    cols = [spmv_bsr_df64_lo(op, op64, Xc[:, j])
+                    cols = [mv64_lo(op, op64, Xc[:, j])
                             for j in range(k)]
                 else:
                     cols = [mv64(op64, Xc[:, j]) for j in range(k)]

@@ -36,16 +36,30 @@ class CholeskySolver(Solver):
         super().__init__(A, **params)
         if A.nrows != A.ncols:
             raise ValueError("Cholesky requires a square matrix")
-        if A.nrows > max_dense_n:
-            raise ValueError(
-                f"dense Cholesky guard: n={A.nrows} > {max_dense_n}; use "
-                "sparse_cholesky (level-scheduled direct) or the "
-                "mixed-precision Krylov solver (cg_ir) for matrices this size")
         self.dtype = jnp.dtype(dtype)
         self.refactor = bool(refactor_each_solve)
         self.ordering = ordering
 
         self._delegate = None
+        self._delegate_mode = None
+        if A.nrows > max_dense_n:
+            # The reference's default backend never refuses a size
+            # (cholmod-impl.h:20-26); above the dense O(n²) guard,
+            # delegate to the sparse level-scheduled direct path
+            # (host sparse factor, device triangular sweeps) instead of
+            # erroring. The record carries extra["delegated"] so the
+            # substitution is visible.
+            import sys
+            print(f"cholesky: n={A.nrows} > dense guard {max_dense_n}; "
+                  "delegating to sparse_cholesky (host sparse factor + "
+                  "device level-scheduled solves).", file=sys.stderr)
+            from lsbench_tpu.solvers.sparse_cholesky import \
+                SparseCholeskySolver
+            self._delegate = SparseCholeskySolver(
+                A, dtype=self.dtype, ordering=ordering, **params)
+            self._delegate_mode = "sparse_cholesky"
+            self.setup_breakdown = self._delegate.setup_breakdown
+            return
         if (jax.default_backend() == "tpu"
                 and self.dtype == jnp.dtype(jnp.float64)):
             # XLA's f64 Cholesky/triangular solves on TPU are emulated
@@ -127,7 +141,12 @@ class CholeskySolver(Solver):
     def solve(self, b) -> SolveResult:
         if self._delegate is not None:
             res = self._delegate.solve(b)
-            res.extra["precision_mode"] = "fp32_ir_auto"
+            if self._delegate_mode is not None:
+                res.extra["delegated"] = self._delegate_mode
+                if getattr(self._delegate, "_ir_tpu", False):
+                    res.extra["precision_mode"] = "fp32_ir_auto"
+            else:
+                res.extra["precision_mode"] = "fp32_ir_auto"
             return res
         b = jnp.asarray(b)
         fn = self.solve_fn()
@@ -205,9 +224,22 @@ class CholeskyIrSolver(Solver):
         del dtype  # precision structure fixed: f32 factor / f64 residual
         if A.nrows != A.ncols:
             raise ValueError("Cholesky requires a square matrix")
+        self._delegate = None
         if A.nrows > max_dense_n:
-            raise ValueError(
-                f"dense Cholesky guard: n={A.nrows} > {max_dense_n}")
+            # Same no-refusal policy as CholeskySolver: the sparse
+            # level-scheduled path takes over above the dense guard (on
+            # TPU it already runs f32 sweeps + df64 refinement, i.e. the
+            # IR structure this class implements densely).
+            import sys
+            print(f"cholesky_ir: n={A.nrows} > dense guard {max_dense_n}; "
+                  "delegating to sparse_cholesky.", file=sys.stderr)
+            from lsbench_tpu.solvers.sparse_cholesky import \
+                SparseCholeskySolver
+            self._delegate = SparseCholeskySolver(
+                A, dtype=jnp.float64, ordering=ordering, rtol=rtol,
+                max_refine=max_refine, **params)
+            self.setup_breakdown = self._delegate.setup_breakdown
+            return
         self.rtol = float(rtol)
         self.max_refine = int(max_refine)
         self.ordering = ordering
@@ -343,6 +375,10 @@ class CholeskyIrSolver(Solver):
         return self._vmap_solve(arg, op64, b)
 
     def solve(self, b) -> SolveResult:
+        if self._delegate is not None:
+            res = self._delegate.solve(b)
+            res.extra["delegated"] = "sparse_cholesky"
+            return res
         b = jnp.asarray(b)
         x, passes, rnorm, bnorm = self._solve_any(self._first_arg,
                                                   self._op64, b)
@@ -360,9 +396,14 @@ class CholeskyIrSolver(Solver):
                            extra=extra)
 
     def solve_fn(self):
+        if self._delegate is not None:
+            return self._delegate.solve_fn()
         arg, op64 = self._first_arg, self._op64
         return lambda b: self._solve_any(arg, op64, jnp.asarray(b))[0]
 
     def solve_fn_args(self):
+        if self._delegate is not None:
+            fn = self._delegate.solve_fn()
+            return (lambda args, b: fn(b)), ()
         return ((lambda args, b: self._solve_any(*args, jnp.asarray(b))[0]),
                 (self._first_arg, self._op64))

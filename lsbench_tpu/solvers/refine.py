@@ -74,7 +74,10 @@ class KrylovIrSolver(Solver):
             from lsbench_tpu.matrix.bsr import BsrDf64, BsrMatrix
             op64 = BsrDf64.from_csr(Ap)
             if (isinstance(self._op, BsrMatrix)
-                    and self._op.blocks.shape == op64.blocks_hi.shape):
+                    and self._op.br == op64.br
+                    and self._op.blocks.shape == op64.blocks_hi.shape
+                    and np.array_equal(np.asarray(self._op.block_cols),
+                                       np.asarray(op64.block_cols))):
                 # The df64 HI block array is bit-identical to the f32
                 # operator's blocks (both are the f64 values rounded once
                 # to f32), so with the uniform-BSR inner layout the jitted

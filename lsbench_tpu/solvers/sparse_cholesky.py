@@ -415,10 +415,38 @@ class SparseCholeskySolver(Solver):
                     cond, body, (x0, bp, rr0, jnp.inf, jnp.int32(0)))
                 return x if inv_dev is None else x[inv_dev]
         else:
+            # fp64 sweeps directly — but the factor is of the SYMMETRIZED
+            # operator while the workload is symmetric only to ~1e-7
+            # relative (SURVEY §2.1), which floors the raw-matrix residual
+            # at ~1e-6. Refine against the raw operator like the dense
+            # path does (direct.py), until rtol or stagnation.
+            from lsbench_tpu.matrix.ell import EllMatrix
+            from lsbench_tpu.ops.spmv import spmv_ell
+            ell_true = EllMatrix.from_csr(Ap, dtype=self.dtype)
+            rtol_c, max_refine_c = self.rtol, self.max_refine
+
             @jax.jit
             def _solve(b):
-                bp = b if perm_dev is None else b[perm_dev]
-                x = solve(bp.astype(dtype))
+                bp = (b if perm_dev is None else b[perm_dev]).astype(dtype)
+                tol2 = (rtol_c ** 2) * jnp.vdot(bp, bp)
+
+                def cond(s):
+                    x, r, rr, rr_prev, passes = s
+                    return jnp.logical_and(
+                        passes < max_refine_c,
+                        jnp.logical_and(rr > tol2, rr < rr_prev))
+
+                def body(s):
+                    x, r, rr, rr_prev, passes = s
+                    x = x + solve(r)
+                    r_new = bp - spmv_ell(ell_true, x)
+                    return (x, r_new, jnp.vdot(r_new, r_new), rr, passes + 1)
+
+                x0 = solve(bp)
+                r0 = bp - spmv_ell(ell_true, x0)
+                rr0 = jnp.vdot(r0, r0)
+                x, _, _, _, _ = jax.lax.while_loop(
+                    cond, body, (x0, r0, rr0, jnp.inf, jnp.int32(0)))
                 return x if inv_dev is None else x[inv_dev]
 
         self._jit_solve = _solve

@@ -79,10 +79,27 @@ def test_cholesky_reference_tolerance(ref_data_dir):
     assert res.relres < 1e-10  # raw-matrix residual, refined
 
 
-def test_dense_guard():
+def test_dense_guard_delegates_to_sparse():
+    # The reference's default backend never refuses a size
+    # (cholmod-impl.h:20-26): above the dense O(n²) guard the solver
+    # transparently delegates to the sparse level-scheduled path and the
+    # record carries the substitution.
+    from lsbench_tpu.solvers.sparse_cholesky import SparseCholeskySolver
     A = random_spd(64, seed=0)
-    with pytest.raises(ValueError, match="cg_ir"):
-        make("cholesky", A, max_dense_n=32)
+    b = make_rhs(64)
+    s = make("cholesky", A, max_dense_n=32)
+    assert isinstance(s._delegate, SparseCholeskySolver)
+    res = s.solve(b)
+    assert res.extra["delegated"] == "sparse_cholesky"
+    assert res.relres < 1e-10
+    np.testing.assert_allclose(np.asarray(s.solve_fn()(b)),
+                               np.asarray(res.x), rtol=1e-12)
+
+    # The IR twin (the fp32_ir CLI mapping) delegates the same way.
+    s_ir = make("cholesky_ir", A, max_dense_n=32)
+    res_ir = s_ir.solve(b)
+    assert res_ir.extra["delegated"] == "sparse_cholesky"
+    assert res_ir.relres < 1e-10
 
 
 # -------------------------------------------- sparse (level-scheduled) path

@@ -269,7 +269,28 @@ def test_cg_ir_inner_vmem_hw():
         walls[m] = (time.perf_counter() - t0) / 10
     per_iter = (walls[1500] - walls[500]) / 1000
     print(f"cg_ir inner per-iter {per_iter*1e6:.1f} us")
-    assert per_iter <= 35e-6, per_iter
+    # Rig-pinned absolute bound on v5e (the dissected 22-vs-68 µs modes,
+    # DESIGN.md §3). On any other TPU generation the absolute number is
+    # meaningless, so derive the bound from a measured HBM roofline
+    # instead: VMEM residency must beat 60% of the time a pure HBM
+    # stream of the operator would take (the lost-promotion mode IS that
+    # stream), keeping the tripwire portable across rigs.
+    kind = jax.devices()[0].device_kind.lower()
+    if "v5 lite" in kind or "v5e" in kind:
+        assert per_iter <= 35e-6, per_iter
+    else:
+        import jax.numpy as _jnp
+        buf = _jnp.zeros(s.stream_bytes // 4, _jnp.float32)
+        copy = jax.jit(lambda v: v + 1.0)
+        host_fence(copy(buf))
+        t0 = time.perf_counter()
+        for _ in range(20):
+            buf = copy(buf)
+        host_fence(buf)
+        stream_s = (time.perf_counter() - t0) / 20 / 2  # read+write / iter
+        print(f"HBM stream estimate {stream_s*1e6:.1f} us "
+              f"(chip {kind})")
+        assert per_iter <= 0.6 * stream_s + 5e-6, (per_iter, stream_s)
 
 
 def test_dist_amg_fixed_cycle_1dev_hw():
