@@ -369,10 +369,12 @@ class DistributedCg2d(Solver):
         x, relres, iters = self._jit_cg(*self._args, self._pad_b(b))
         relres = float(relres)
         x_host = self._ord.unpermute_x(np.asarray(x)[: self.n])
+        true_rel = self.true_relres(x_host, b)
         return SolveResult(x=x_host, iters=int(iters), relres=relres,
-                           converged=relres <= self.rtol,
+                           converged=true_rel <= self.rtol,
                            extra={"mesh": (self.plan.pr, self.plan.pc),
-                                  "local_spmv": self.local_spmv})
+                                  "local_spmv": self.local_spmv,
+                                  "true_relres": true_rel})
 
     def solve_fn(self):
         args = self._args
@@ -471,11 +473,14 @@ class DistributedBicgstab2d(Solver):
         x, rnorm, bnorm, iters = self._jit(*self._args, self._pad_b(b))
         rnorm, bnorm = float(rnorm), float(bnorm)
         relres = rnorm / bnorm if bnorm > 0 else 0.0
-        return SolveResult(x=self._ord.unpermute_x(np.asarray(x)[: self.n]),
+        x_host = self._ord.unpermute_x(np.asarray(x)[: self.n])
+        true_rel = self.true_relres(x_host, b)
+        return SolveResult(x=x_host,
                            iters=int(iters),
                            relres=relres,
-                           converged=relres <= self.rtol or bnorm == 0.0,
-                           extra={"mesh": (self.plan.pr, self.plan.pc)})
+                           converged=true_rel <= self.rtol or bnorm == 0.0,
+                           extra={"mesh": (self.plan.pr, self.plan.pc),
+                                  "true_relres": true_rel})
 
     def solve_fn(self):
         args, jit, pad = self._args, self._jit, self._pad_b

@@ -117,12 +117,14 @@ class DistributedBicgstab(Solver):
         x, rnorm, bnorm, iters = self._jit(*self._args, self._pad_b(b))
         rnorm, bnorm = float(rnorm), float(bnorm)
         relres = rnorm / bnorm if bnorm > 0 else 0.0
-        return SolveResult(x=self._ord.unpermute_x(fetch_global(x, self.n)),
-                           iters=int(iters),
+        x_host = self._ord.unpermute_x(fetch_global(x, self.n))
+        true_rel = self.true_relres(x_host, b)
+        return SolveResult(x=x_host, iters=int(iters),
                            relres=relres,
-                           converged=relres <= self.rtol or bnorm == 0.0,
+                           converged=true_rel <= self.rtol or bnorm == 0.0,
                            extra={"strategy": self.strategy,
-                                  "local_spmv": self.local_spmv})
+                                  "local_spmv": self.local_spmv,
+                                  "true_relres": true_rel})
 
     def solve_fn(self):
         args, jit, pad = self._args, self._jit, self._pad_b

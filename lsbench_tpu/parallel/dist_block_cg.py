@@ -189,8 +189,9 @@ class DistributedBlockCg(Solver):
         relres = float(relres_cols.max())
         X_host = self._ord.unpermute_x(fetch_global(X, self.n))
         x = X_host[:, 0] if squeeze else X_host
+        true_rel = self.true_relres(x, B)
         return SolveResult(x=x, iters=int(iters), relres=relres,
-                           converged=relres <= self.rtol,
+                           converged=true_rel <= self.rtol,
                            extra={"refine_passes": int(passes),
                                   "nrhs": self.nrhs,
                                   "method": "simultaneous",
@@ -198,6 +199,7 @@ class DistributedBlockCg(Solver):
                                   "strategy": self.strategy,
                                   "local_spmv": self.local_spmv,
                                   "halo": self.plan.halo,
+                                  "true_relres": true_rel,
                                   "precision_mode": "fp32_ir"})
 
     def solve_fn(self):

@@ -169,11 +169,15 @@ class DistributedCg(Solver):
         # Slice padding off on host (x is row-sharded; device slicing across
         # shard boundaries would need a resharding collective).
         x_host = self._ord.unpermute_x(fetch_global(x, self.n))
+        # Honest convergence: judge against the host fp64 TRUE residual,
+        # not the (possibly f32) recurrence (VERDICT r3 weak 6).
+        true_rel = self.true_relres(x_host, b)
         return SolveResult(x=x_host, iters=int(iters), relres=relres,
-                           converged=relres <= self.rtol,
+                           converged=true_rel <= self.rtol,
                            extra={"strategy": self.strategy,
                                   "local_spmv": self.local_spmv,
-                                  "halo": self.plan.halo})
+                                  "halo": self.plan.halo,
+                                  "true_relres": true_rel})
 
     def solve_fn(self):
         op_args, inv_diag = self._op_args, self._inv_diag

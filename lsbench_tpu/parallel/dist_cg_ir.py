@@ -207,12 +207,14 @@ class DistributedCgIr(Solver):
         rnorm, bnorm = float(rnorm), float(bnorm)
         relres = rnorm / bnorm if bnorm > 0 else 0.0
         x_host = fetch_global(x, self.n)
+        true_rel = self.true_relres(x_host, b)
         return SolveResult(x=x_host, iters=int(iters), relres=relres,
-                           converged=relres <= self.rtol or bnorm == 0.0,
+                           converged=true_rel <= self.rtol or bnorm == 0.0,
                            extra={"refine_passes": int(passes),
                                   "strategy": self.strategy,
                                   "local_spmv": self.local_spmv,
                                   "halo": self.plan.halo,
+                                  "true_relres": true_rel,
                                   "precision_mode": "fp32_ir_auto"})
 
     def solve_fn(self):

@@ -439,6 +439,36 @@ def test_hypre_faithful_preset(ref_data_dir):
     assert res.relres < 1.0, res.relres  # contracts under the protocol
 
 
+def test_paralmond_single_kcycle_contracts_error_tj7a(ref_data_dir):
+    """One paralmond K-cycle application (paralmond.cpp:118-140 protocol)
+    on tj7a: the residual 2-NORM amplifies (~2.1x; ||Ae|| ≤ λmax·||e||
+    and tj7a's cond is 2.5e4) while the A-norm and 2-norm ERRORS both
+    contract well below 1 — the cycle is a correct error contraction and
+    x after one application is ~4x closer to x* than x0=0. Pins the
+    measured transient so a cycle-scaling regression (which would push
+    the error contraction toward/over 1) fails here, and so the
+    residual amplification isn't 'fixed' by silently rescaling the
+    cycle (RESULTS.md §3 note)."""
+    from lsbench_tpu.matrix.io import read_matrix
+    A = read_matrix(str(ref_data_dir / "tj7a_A_18.txt"))
+    b = make_rhs(A.nrows)
+    cls, p = get_solver("paralmond")
+    res = cls(A, **p).solve(b)
+    assert res.iters == 1
+    x1 = np.asarray(res.x, np.float64)
+    Ad = A.to_dense()
+    xs = np.linalg.solve(Ad, b)
+    e0, e1 = xs, xs - x1
+    anorm = lambda e: float(np.sqrt(e @ (Ad @ e)))
+    a_contr = anorm(e1) / anorm(e0)
+    e_contr = float(np.linalg.norm(e1) / np.linalg.norm(e0))
+    # Measured 2026-08: relres2 2.14, A-norm 0.315, 2-norm err 0.264.
+    assert res.relres > 1.0, res.relres       # the documented transient
+    assert res.relres < 4.0, res.relres
+    assert a_contr < 0.5, a_contr             # the cycle really contracts
+    assert e_contr < 0.5, e_contr
+
+
 def test_abs_strength_selectable():
     """strength=abs is selectable (documented negative result on the
     reference workload, RESULTS.md §1) and produces a working hierarchy."""

