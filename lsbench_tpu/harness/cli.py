@@ -94,7 +94,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--devices", type=int, default=None,
                    help="run the solve block-row-sharded over N devices "
                         "(cg / cg_ir / gmres / bicgstab / ginkgo / amg / "
-                        "hypre / amgx / paralmond; --nrhs k composes via "
+                        "hypre / amgx / paralmond; every Krylov family "
+                        "accepts --precision fp32_ir for f32 inner + df64 "
+                        "refinement; --nrhs k composes via "
                         "block_cg). --devices 1 runs the full "
                         "shard_map/halo/Pallas-BSR plumbing on a 1-device "
                         "mesh; omit for the single-chip kernels. Use "
@@ -349,13 +351,14 @@ def _make_distributed(solver_name: str, A, args, params):
         kw["maxiter"] = args.maxiter
     dtype = params.get("dtype", "float64")
     mixed = dtype == "mixed"
-    if mixed and solver_name not in ("cg", "cg_ir"):
-        print("--devices: fp32_ir over a mesh is implemented for the cg "
-              "family (dist_cg_ir); use fp64/fp32 for other solvers.",
-              file=sys.stderr)
-        return None
 
     if args.mesh:
+        if mixed:
+            print("--mesh RxC: fp32_ir on the 2-D partition is not "
+                  "implemented (the 1-D --devices path has it for "
+                  "cg/gmres/bicgstab/ginkgo); use fp64/fp32.",
+                  file=sys.stderr)
+            return None
         if (solver_name not in ("cg", "cg_ir", "bicgstab", "ginkgo")
                 or args.precond in ("amg", "amg_classical")):
             print("--mesh RxC currently supports the cg/bicgstab/ginkgo "
@@ -415,10 +418,16 @@ def _make_distributed(solver_name: str, A, args, params):
               "row_align", "precond", "block_size", "restart"):
         if k in params:
             kw[k] = params[k]
-    if solver_name in ("bicgstab", "ginkgo"):
-        from lsbench_tpu.parallel.dist_bicgstab import DistributedBicgstab
+    if solver_name in ("bicgstab", "ginkgo", "bicgstab_ir"):
         if solver_name == "ginkgo":
             kw.setdefault("rtol", 1e-4)  # ginkgo.cpp:61
+        if mixed or solver_name == "bicgstab_ir":
+            # f32 inner distributed BiCGSTAB + df64 refinement: the
+            # ginkgo role over a mesh with honest fp64 semantics
+            # (ginkgo.cpp:55-64 + lsbench.c:140-141).
+            from lsbench_tpu.parallel.dist_cg_ir import DistributedBicgstabIr
+            return DistributedBicgstabIr(A, mesh, **kw)
+        from lsbench_tpu.parallel.dist_bicgstab import DistributedBicgstab
         return DistributedBicgstab(A, mesh, dtype=dtype, **kw)
     if solver_name == "cg_ir" or (solver_name == "cg" and mixed):
         # f32 inner distributed CG + double-float f64 refinement — the
@@ -429,7 +438,11 @@ def _make_distributed(solver_name: str, A, args, params):
     if solver_name == "cg":
         from lsbench_tpu.parallel.dist_cg import DistributedCg
         return DistributedCg(A, mesh, dtype=dtype, **kw)
-    if solver_name == "gmres":
+    if solver_name in ("gmres", "gmres_ir"):
+        if mixed or solver_name == "gmres_ir":
+            from lsbench_tpu.parallel.dist_cg_ir import DistributedGmresIr
+            kw.setdefault("rtol", 1e-10)
+            return DistributedGmresIr(A, mesh, **kw)
         from lsbench_tpu.parallel.dist_gmres import DistributedGmres
         return DistributedGmres(A, mesh, dtype=dtype, **kw)
     if solver_name == "block_cg":
@@ -439,8 +452,9 @@ def _make_distributed(solver_name: str, A, args, params):
         kw.setdefault("rtol", 1e-10)
         return DistributedBlockCg(A, mesh, nrhs=max(args.nrhs, 1), **kw)
     print(f"solver '{solver_name}' has no distributed implementation "
-          "(distributed: cg, cg_ir, block_cg, gmres, ginkgo, amg, hypre, "
-          "amgx, paralmond).",
+          "(distributed: cg, cg_ir, block_cg, gmres, gmres_ir, bicgstab, "
+          "bicgstab_ir, ginkgo, amg, hypre, amgx, paralmond; all Krylov "
+          "families accept --precision fp32_ir).",
           file=sys.stderr)
     return None
 

@@ -1,19 +1,26 @@
-"""Distributed mixed-precision CG: f32 inner dist-CG + f64 refinement.
+"""Distributed mixed-precision Krylov: f32 inner solves + f64 refinement.
 
-The distributed twin of solvers/refine.py::CgIrSolver, and the production
-fp64 solve mode over a mesh: TPU f64 is emulated, so running every CG
-iteration in f64 (or double-float) pays ~2-3x per matvec. Instead:
+The distributed twin of solvers/refine.py::KrylovIrSolver, and the
+production fp64 solve mode over a mesh: TPU f64 is emulated, so running
+every Krylov iteration in f64 (or double-float) pays ~2-3x per matvec.
+Instead:
 
-- the inner CG iterates entirely in f32 on the halo-exchange Pallas BSR
-  path (parallel/dist_spmv.py), one fused `psum` per iteration;
+- the inner Krylov method iterates entirely in f32 on the halo-exchange
+  Pallas BSR path (parallel/dist_spmv.py), with fused `psum` reductions;
 - once per refinement pass, the f64 residual r = b - A x is computed with
   the double-float Pallas kernel (hi+lo block pair, ~2^-49) and reduced
   with one more psum;
 - each pass gains ~6 digits; 2-3 passes reach the reference's direct
   tolerance 1e-10 (cusparse.c:184) at f32 per-iteration cost.
 
-Everything (outer refinement while_loop + inner CG while_loop) runs in ONE
-shard_map/jit program — no host round-trips between passes.
+Everything (outer refinement while_loop + inner Krylov while_loop) runs in
+ONE shard_map/jit program — no host round-trips between passes.
+
+The inner method is pluggable, mirroring the single-chip family
+(refine.py): CG for the SPD workload (`DistributedCgIr`), BiCGSTAB
+(`DistributedBicgstabIr` — the Ginkgo role, ginkgo.cpp:55-64, with honest
+fp64 semantics over a mesh) and restarted GMRES (`DistributedGmresIr`)
+for nonsymmetric systems.
 """
 
 from __future__ import annotations
@@ -33,15 +40,153 @@ from lsbench_tpu.parallel.mesh import ROWS, fetch_global
 from lsbench_tpu.parallel.perm import resolve_dist_ordering
 from lsbench_tpu.solvers.base import SolveResult, Solver
 
+# ----------------------------------------------------------- inner methods
+# Each runs INSIDE the shard_map body on local shards: `mv` is the local
+# halo-exchange matvec, `invd_l` the local Jacobi diagonal, `rhs_l` the
+# local f32 right-hand side. Stop on the recursive residual relative to
+# ||rhs|| (the f64 outer loop owns the true-residual contract). Returns
+# (local solution shard, iteration count).
 
-class DistributedCgIr(Solver):
-    """f32 distributed CG inner solve + f64 distributed residual refinement.
 
-    The `--devices N` route for `--solver cg_ir` / `--precision fp32_ir`
-    (and the recommended fp64 production path over a mesh).
+def _cg_inner(mv, invd_l, rhs_l, inner_rtol, maxiter):
+    """f32 Jacobi-CG of A d = rhs to inner_rtol (one fused psum/iter)."""
+    (bb,) = fused_psum(jnp.vdot(rhs_l, rhs_l))
+    tol2 = jnp.asarray(inner_rtol**2, jnp.float32) * bb
+    x0 = jnp.zeros_like(rhs_l)
+    z0 = invd_l * rhs_l
+    rz0, rr0 = fused_psum(jnp.vdot(rhs_l, z0), jnp.vdot(rhs_l, rhs_l))
+
+    def cond(s):
+        *_, rr, it = s
+        return jnp.logical_and(it < maxiter, rr > tol2)
+
+    def body(s):
+        x, r, p, rz, rr, it = s
+        Ap = mv(p)
+        (pAp,) = fused_psum(jnp.vdot(p, Ap))
+        alpha = rz / pAp
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = invd_l * r
+        rz_new, rr_new = fused_psum(jnp.vdot(r, z), jnp.vdot(r, r))
+        beta = rz_new / rz
+        p = z + beta * p
+        return (x, r, p, rz_new, rr_new, it + 1)
+
+    x, r, p, rz, rr, it = jax.lax.while_loop(
+        cond, body, (x0, rhs_l, z0, rz0, rr0, jnp.int32(0)))
+    return x, it
+
+
+def _bicgstab_inner(mv, invd_l, rhs_l, inner_rtol, maxiter):
+    """f32 Jacobi-BiCGSTAB of A d = rhs (the ginkgo.cpp:55-64 recurrence,
+    same fused-psum schedule as parallel/dist_bicgstab.py)."""
+    r0 = rhs_l
+    (r0n2,) = fused_psum(jnp.vdot(r0, r0))
+    tol2 = jnp.asarray(inner_rtol**2, jnp.float32) * r0n2
+    one = jnp.asarray(1.0, jnp.float32)
+    init = (jnp.zeros_like(rhs_l), r0, jnp.zeros_like(rhs_l),
+            jnp.zeros_like(rhs_l), one, one, one, r0n2, jnp.int32(0))
+
+    def cond(s):
+        *_, rr, it = s
+        return jnp.logical_and(it < maxiter, rr > tol2)
+
+    def body(s):
+        x, r, p, v, rho, alpha, omega, rr, it = s
+        (rho_new,) = fused_psum(jnp.vdot(r0, r))
+        # f32 breakdown guard: a vanishing rho/omega would produce inf
+        # beta; freeze the step instead (the outer f64 pass absorbs it).
+        denom = rho * omega
+        beta = jnp.where(denom != 0, (rho_new / rho) * (alpha / omega), 0.0)
+        p = r + beta * (p - omega * v)
+        ph = invd_l * p
+        v = mv(ph)
+        (r0v,) = fused_psum(jnp.vdot(r0, v))
+        alpha = jnp.where(r0v != 0, rho_new / r0v, 0.0)
+        sv = r - alpha * v
+        sh = invd_l * sv
+        t = mv(sh)
+        tt, ts = fused_psum(jnp.vdot(t, t), jnp.vdot(t, sv))
+        omega = jnp.where(tt > 0, ts / tt, jnp.zeros_like(tt))
+        x = x + alpha * ph + omega * sh
+        r = sv - omega * t
+        (rr_new,) = fused_psum(jnp.vdot(r, r))
+        return (x, r, p, v, rho_new, alpha, omega, rr_new, it + 1)
+
+    x, r, p, v, rho, alpha, omega, rr, it = jax.lax.while_loop(
+        cond, body, init)
+    return x, it
+
+
+def _gmres_inner(mv, invd_l, rhs_l, inner_rtol, maxiter, restart):
+    """f32 restarted GMRES(m) of A d = rhs (CGS2 Arnoldi, replicated
+    Hessenberg least-squares — parallel/dist_gmres.py's cycle)."""
+    m = restart
+    mr = max(1, -(-maxiter // m))
+    dt = jnp.float32
+    nloc = rhs_l.shape[0]
+    eps_break = 1e-30
+
+    def pdot(a, b):
+        return jax.lax.psum(jnp.vdot(a, b), ROWS)
+
+    bb = pdot(rhs_l, rhs_l)
+    tol = jnp.asarray(inner_rtol, dt) * jnp.sqrt(bb)
+
+    def arnoldi_cycle(x_l):
+        r_l = rhs_l - mv(x_l)
+        beta = jnp.sqrt(pdot(r_l, r_l))
+        beta_safe = jnp.where(beta > 0, beta, 1.0)
+        V0 = jnp.zeros((m + 1, nloc), dt).at[0].set(r_l / beta_safe)
+        H0 = jnp.zeros((m + 1, m), dt)
+
+        def step(j, carry):
+            V, H = carry
+            w = mv(invd_l * V[j])
+            mask = (jnp.arange(m + 1) <= j).astype(dt)
+            h1 = jax.lax.psum(V @ w, ROWS) * mask
+            w = w - V.T @ h1
+            h2 = jax.lax.psum(V @ w, ROWS) * mask
+            w = w - V.T @ h2
+            h = h1 + h2
+            hnext = jnp.sqrt(pdot(w, w))
+            V = V.at[j + 1].set(w / jnp.maximum(hnext, eps_break))
+            H = H.at[:, j].set(h.at[j + 1].set(hnext))
+            return (V, H)
+
+        V, H = jax.lax.fori_loop(0, m, step, (V0, H0))
+        e1 = jnp.zeros(m + 1, dt).at[0].set(beta)
+        q, rr = jnp.linalg.qr(H, mode="reduced")
+        y = jax.scipy.linalg.solve_triangular(
+            rr + eps_break * jnp.eye(m, dtype=dt), q.T @ e1, lower=False)
+        return x_l + invd_l * (V[:m].T @ y)
+
+    def cond(s):
+        x, rn, it = s
+        return jnp.logical_and(it < mr, rn > tol)
+
+    def body(s):
+        x, rn, it = s
+        x = arnoldi_cycle(x)
+        r = rhs_l - mv(x)
+        return (x, jnp.sqrt(pdot(r, r)), it + 1)
+
+    x0 = jnp.zeros_like(rhs_l)
+    x, rnorm, restarts = jax.lax.while_loop(
+        cond, body, (x0, jnp.sqrt(bb), jnp.int32(0)))
+    return x, restarts * m
+
+
+# ------------------------------------------------------------------ solver
+
+class DistributedKrylovIr(Solver):
+    """f32 distributed inner Krylov solve + f64 distributed refinement.
+
+    Subclasses pick the inner method via `_make_inner()`; everything else
+    (the df64 residual pass, the VMEM-residency program shape, ordering
+    gathers) is shared.
     """
-
-    name = "dist_cg_ir"
 
     def __init__(self, A: CsrMatrix, mesh: Mesh, rtol=1e-10, inner_rtol=1e-5,
                  maxiter=None, max_refine=6, ordering="none",
@@ -82,10 +227,10 @@ class DistributedCgIr(Solver):
         inv_diag = jax.device_put(jnp.asarray(1.0 / d, dtype=jnp.float32),
                                   vec_shard)
 
-        rtol_c, inner_rtol_c = self.rtol, self.inner_rtol
-        maxiter_c, max_refine_c = self.maxiter, self.max_refine
+        rtol_c, max_refine_c = self.rtol, self.max_refine
         mv32_local, mv64_local = dm32.matvec, dm64.matvec
         n32 = len(dm32.op_specs)
+        inner_solve = self._make_inner()
 
         @partial(shard_map, mesh=mesh,
                  in_specs=(*dm32.op_specs, *dm64.op_specs, P(ROWS), P(ROWS)),
@@ -96,37 +241,8 @@ class DistributedCgIr(Solver):
             op64_l = tuple(args[n32:-2])
             invd_l, b_l = args[-2:]
 
-
-            def cg_inner(rhs_l):
-                """f32 Jacobi-CG of A d = rhs to inner_rtol (relative)."""
-                (bb,) = fused_psum(jnp.vdot(rhs_l, rhs_l))
-                tol2 = jnp.asarray(inner_rtol_c**2, jnp.float32) * bb
-                x0 = jnp.zeros_like(rhs_l)
-                z0 = invd_l * rhs_l
-                rz0, rr0 = fused_psum(jnp.vdot(rhs_l, z0),
-                                      jnp.vdot(rhs_l, rhs_l))
-
-                def cond(s):
-                    *_, rr, it = s
-                    return jnp.logical_and(it < maxiter_c, rr > tol2)
-
-                def body(s):
-                    x, r, p, rz, rr, it = s
-                    Ap = mv32_local(op32_l, p)
-                    (pAp,) = fused_psum(jnp.vdot(p, Ap))
-                    alpha = rz / pAp
-                    x = x + alpha * p
-                    r = r - alpha * Ap
-                    z = invd_l * r
-                    rz_new, rr_new = fused_psum(jnp.vdot(r, z),
-                                                jnp.vdot(r, r))
-                    beta = rz_new / rz
-                    p = z + beta * p
-                    return (x, r, p, rz_new, rr_new, it + 1)
-
-                x, r, p, rz, rr, it = jax.lax.while_loop(
-                    cond, body, (x0, rhs_l, z0, rz0, rr0, jnp.int32(0)))
-                return x, it
+            def mv(p_l):
+                return mv32_local(op32_l, p_l)
 
             b_l = b_l.astype(jnp.float64)
             (bb,) = fused_psum(jnp.vdot(b_l, b_l))
@@ -144,7 +260,7 @@ class DistributedCgIr(Solver):
                 safe = jnp.where(scale > 0, scale, 1.0)
                 rhs32 = (r.astype(jnp.float32)
                          * (1.0 / safe).astype(jnp.float32))
-                d32, inner_iters = cg_inner(rhs32)
+                d32, inner_iters = inner_solve(mv, invd_l, rhs32)
                 # A non-finite correction (f32 breakdown) must not poison
                 # x; drop it and let the pass cap end the loop.
                 d32 = jnp.where(jnp.isfinite(d32), d32, 0.0)
@@ -193,6 +309,10 @@ class DistributedCgIr(Solver):
                          jnp.asarray(pp), jnp.asarray(ip))
         self._jit_solve = _solve_wrapped
 
+    def _make_inner(self):
+        """Return inner(mv, invd_l, rhs32_l) -> (d32_l, iters)."""
+        raise NotImplementedError
+
     def _pad_b(self, b):
         b = np.asarray(b, dtype=np.float64)
         if b.shape[0] != self.n:
@@ -222,3 +342,49 @@ class DistributedCgIr(Solver):
         jit_solve = self._jit_solve
         pad = self._pad_b
         return lambda b: jit_solve(*op_args, pad(b))[0]
+
+
+class DistributedCgIr(DistributedKrylovIr):
+    """f32 distributed CG inner solve + f64 distributed residual refinement.
+
+    The `--devices N` route for `--solver cg_ir` / `--precision fp32_ir`
+    (and the recommended fp64 production path over a mesh).
+    """
+
+    name = "dist_cg_ir"
+
+    def _make_inner(self):
+        inner_rtol, maxiter = self.inner_rtol, self.maxiter
+        return lambda mv, invd_l, rhs_l: _cg_inner(
+            mv, invd_l, rhs_l, inner_rtol, maxiter)
+
+
+class DistributedBicgstabIr(DistributedKrylovIr):
+    """f32 distributed BiCGSTAB inner + f64 refinement: the Ginkgo role
+    (ginkgo.cpp:55-64) over a mesh with fp64 semantics (lsbench.c:140-141)
+    at f32 per-iteration cost — `--solver bicgstab/ginkgo --precision
+    fp32_ir --devices N`."""
+
+    name = "dist_bicgstab_ir"
+
+    def _make_inner(self):
+        inner_rtol, maxiter = self.inner_rtol, self.maxiter
+        return lambda mv, invd_l, rhs_l: _bicgstab_inner(
+            mv, invd_l, rhs_l, inner_rtol, maxiter)
+
+
+class DistributedGmresIr(DistributedKrylovIr):
+    """f32 distributed restarted-GMRES inner + f64 refinement —
+    `--solver gmres --precision fp32_ir --devices N`."""
+
+    name = "dist_gmres_ir"
+
+    def __init__(self, A: CsrMatrix, mesh: Mesh, restart=30, **kw):
+        self.restart = int(restart)
+        super().__init__(A, mesh, **kw)
+
+    def _make_inner(self):
+        inner_rtol, maxiter = self.inner_rtol, self.maxiter
+        restart = self.restart
+        return lambda mv, invd_l, rhs_l: _gmres_inner(
+            mv, invd_l, rhs_l, inner_rtol, maxiter, restart)

@@ -82,6 +82,21 @@ def run_dryrun(n_devices: int) -> None:
     # achievable level; hardware asserts 1e-10 (tests/test_tpu_hw.py).
     assert rir < 1e-5, (res_ir.iters, res_ir.relres, rir)
 
+    # Distributed mixed-precision BiCGSTAB + GMRES (f32 inner + df64
+    # refinement): the ginkgo-role and gmres-role fp32_ir routes.
+    from lsbench_tpu.parallel.dist_cg_ir import (DistributedBicgstabIr,
+                                                 DistributedGmresIr)
+    res_bir = DistributedBicgstabIr(A, mesh, rtol=1e-8,
+                                    local_spmv="bsr").solve(b)
+    rbir = (np.linalg.norm(b - A.matvec(np.asarray(res_bir.x)))
+            / np.linalg.norm(b))
+    assert rbir < 1e-5, (res_bir.iters, res_bir.relres, rbir)
+    res_gir = DistributedGmresIr(A, mesh, rtol=1e-8, restart=20,
+                                 local_spmv="bsr").solve(b)
+    rgir = (np.linalg.norm(b - A.matvec(np.asarray(res_gir.x)))
+            / np.linalg.norm(b))
+    assert rgir < 1e-5, (res_gir.iters, res_gir.relres, rgir)
+
     # Distributed multi-RHS: k RHS through one halo exchange + one
     # streamed block pass per iteration (--nrhs x --devices composing).
     from lsbench_tpu.parallel.dist_block_cg import DistributedBlockCg

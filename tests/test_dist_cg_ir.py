@@ -124,6 +124,60 @@ def test_dist_gmres_ordering_roundtrip(A, mesh):
     assert _true_relres(A, res.x, b) <= 1e-7
 
 
+def test_dist_bicgstab_ir_reaches_direct_tolerance(A, mesh):
+    """The ginkgo role over a mesh with honest fp64 semantics: f32
+    BiCGSTAB inner + df64 refinement reaches the reference direct
+    tolerance (ginkgo.cpp:55-64 + lsbench.c:140-141; VERDICT r3 next 3)."""
+    from lsbench_tpu.parallel.dist_cg_ir import DistributedBicgstabIr
+    b = np.arange(A.nrows, dtype=np.float64)
+    res = DistributedBicgstabIr(A, mesh, rtol=1e-10).solve(b)
+    assert res.converged
+    assert res.extra["precision_mode"] == "fp32_ir_auto"
+    assert res.extra["true_relres"] <= 1e-10
+
+
+def test_dist_bicgstab_ir_matches_single_chip(A, mesh):
+    from lsbench_tpu.parallel.dist_cg_ir import DistributedBicgstabIr
+    from lsbench_tpu.solvers.base import get_solver
+    b = np.arange(A.nrows, dtype=np.float64)
+    xd = np.asarray(DistributedBicgstabIr(A, mesh, rtol=1e-10).solve(b).x,
+                    np.float64)
+    cls, _ = get_solver("bicgstab_ir")
+    xs = np.asarray(cls(A, rtol=1e-10).solve(b).x, np.float64)
+    assert np.linalg.norm(xd - xs) / np.linalg.norm(xs) < 1e-9
+
+
+def test_dist_gmres_ir_converges(mesh):
+    """f32 restarted-GMRES inner + df64 refinement over the mesh (small
+    Poisson: GMRES+Jacobi needs many iterations on the SPD reference
+    workload, which is CG's job — this pins the nonsymmetric-capable
+    path's structure and accuracy)."""
+    from lsbench_tpu.matrix.generate import poisson_2d
+    from lsbench_tpu.parallel.dist_cg_ir import DistributedGmresIr
+    Ap = poisson_2d(16)
+    b = np.arange(Ap.nrows, dtype=np.float64)
+    res = DistributedGmresIr(Ap, mesh, rtol=1e-10, restart=25).solve(b)
+    assert res.converged
+    assert _true_relres(Ap, res.x, b) <= 1e-10
+
+
+def test_cli_ginkgo_fp32_ir_over_mesh(capsys):
+    """`--solver ginkgo --precision fp32_ir --devices N` (the r3 cli
+    rejection removed): reaches true 1e-10 under the spelled alias."""
+    import json
+
+    from lsbench_tpu.harness.cli import main
+    rc = main(["--matrix", REF, "--solver", "ginkgo", "--precision",
+               "fp32_ir", "--rtol", "1e-10", "--devices", "2",
+               "--trials", "1", "--json", "--platform", "cpu"])
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["solver"] == "ginkgo"
+    assert rec["refine_passes"] >= 1
+    assert rec["true_relres"] <= 1e-10
+    assert rec["converged"] is True
+
+
 def test_cli_devices_1_runs_mesh_path(capsys):
     """--devices 1 (explicitly given) must run the full shard_map mesh
     plumbing, not the single-chip solver (VERDICT r2 item 1)."""
