@@ -115,7 +115,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="2-D device mesh for --devices runs, e.g. 2x4 "
                         "(cg/bicgstab/ginkgo: all_gather over rows + "
                         "psum_scatter over cols, Pallas BSR or ELL local "
-                        "SpMV, parallel/dist2d.py)")
+                        "SpMV, parallel/dist2d.py; --precond amg runs the "
+                        "fully 2-D-sharded AMG hierarchy, dist_amg2d.py; "
+                        "--nrhs k runs 2-D multi-RHS block CG)")
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (fail fast on NaN/Inf in any "
                         "kernel — the sanitizer role, SURVEY.md §5)")
@@ -353,18 +355,20 @@ def _make_distributed(solver_name: str, A, args, params):
     mixed = dtype == "mixed"
 
     if args.mesh:
-        if mixed:
-            print("--mesh RxC: fp32_ir on the 2-D partition is not "
-                  "implemented (the 1-D --devices path has it for "
-                  "cg/gmres/bicgstab/ginkgo); use fp64/fp32.",
+        if mixed and solver_name != "block_cg":
+            print("--mesh RxC: fp32_ir on the 2-D partition is only "
+                  "implemented for multi-RHS block CG (--nrhs k, which is "
+                  "structurally f32+df64); the 1-D --devices path has it "
+                  "for cg/gmres/bicgstab/ginkgo.", file=sys.stderr)
+            return None
+        if solver_name not in ("cg", "cg_ir", "bicgstab", "ginkgo",
+                               "block_cg"):
+            print("--mesh RxC supports cg/bicgstab/ginkgo (point/none or "
+                  "amg preconditioning) and multi-RHS block_cg.",
                   file=sys.stderr)
             return None
-        if (solver_name not in ("cg", "cg_ir", "bicgstab", "ginkgo")
-                or args.precond in ("amg", "amg_classical")):
-            print("--mesh RxC currently supports the cg/bicgstab/ginkgo "
-                  "solvers with point/none preconditioning.", file=sys.stderr)
-            return None
         from lsbench_tpu.parallel.dist2d import (DistributedBicgstab2d,
+                                                 DistributedBlockCg2d,
                                                  DistributedCg2d)
         from lsbench_tpu.parallel.mesh import make_mesh_2d
         try:
@@ -381,6 +385,27 @@ def _make_distributed(solver_name: str, A, args, params):
         if "local_spmv" in params:
             kw["local_spmv"] = params["local_spmv"]
         kw["ordering"] = params.get("ordering", "none")
+        if solver_name == "block_cg":
+            # --nrhs k × --mesh RxC composition (f32 SpMM + df64 refine).
+            kw.setdefault("rtol", 1e-10)
+            return DistributedBlockCg2d(A, mesh2, nrhs=max(args.nrhs, 1),
+                                        **kw)
+        if (solver_name in ("cg", "cg_ir")
+                and args.precond in ("amg", "amg_classical")):
+            # AMG-preconditioned CG on the 2-D partition: every hierarchy
+            # operator (A/P/R per level) 2-D-sharded (dist_amg2d.py).
+            from lsbench_tpu.parallel.dist_amg2d import DistributedAmgCg2d
+            kw.pop("local_spmv", None)  # hierarchy is ELL-on-2-D only
+            if args.precond == "amg_classical":
+                kw.update(coarsening="classical", theta=0.5,
+                          interp="jacobi", interp_passes=3,
+                          interp_omega=0.5, pmax=8)
+            for k in ("coarsening", "theta", "interp", "interp_passes",
+                      "interp_omega", "pmax", "smoother", "degree",
+                      "pre_sweeps", "post_sweeps", "coarse_n"):
+                if k in params:
+                    kw[k] = params[k]
+            return DistributedAmgCg2d(A, mesh2, dtype=dtype, **kw)
         if solver_name in ("bicgstab", "ginkgo"):
             if solver_name == "ginkgo":
                 kw.setdefault("rtol", 1e-4)  # ginkgo.cpp:61

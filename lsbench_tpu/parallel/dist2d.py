@@ -48,32 +48,42 @@ def _round_up(x: int, m: int) -> int:
 @dataclass
 class Spmv2dPlan:
     """Host-built plan: (Pr, Pc, rloc, k) ELL blocks with gathered-frame
-    column ids."""
+    column ids. Rectangular operators (AMG's P/R) chunk rows by `csize`
+    (the OUTPUT vector layout) and columns by `csize_in` (the INPUT
+    vector layout); square operators use one chunk size for both."""
     vals: jax.Array      # (Pr, Pc, rloc, k)
     cols: jax.Array      # (Pr, Pc, rloc, k) int32 into the gathered vector
     n: int
     n_pad: int           # P * csize
-    csize: int           # vector chunk per device
+    csize: int           # output-vector chunk per device
     rloc: int            # rows per device row-block (= Pc * csize)
     pr: int
     pc: int
+    csize_in: int = 0    # input-vector chunk (== csize when square)
+    n_gath: int = 0      # Pr * csize_in (gathered x width per device)
 
 
 def build_2d_plan(A: CsrMatrix, pr: int, pc: int, dtype,
-                  align: int = 8) -> Spmv2dPlan:
+                  align: int = 8, csize_r: int | None = None,
+                  csize_c: int | None = None) -> Spmv2dPlan:
     n = A.nrows
     P_ = pr * pc
-    csize = _round_up(-(-n // P_), align)
+    if csize_r is None:
+        csize_r = _round_up(-(-n // P_), align)
+    if csize_c is None:
+        csize_c = (csize_r if A.ncols == A.nrows
+                   else _round_up(-(-A.ncols // P_), align))
+    csize = csize_r
     n_pad = csize * P_
     rloc = csize * pc
 
     r, c, v = A.to_coo()
     i_dev = r // rloc
-    q = c // csize                       # global chunk of the column
+    q = c // csize_c                     # global chunk of the column
     j_dev = q % pc
     lrow = r % rloc
     # Gathered frame on device column j: chunks (j, pc+j, 2pc+j, …) in order.
-    lcol = (q // pc) * csize + (c % csize)
+    lcol = (q // pc) * csize_c + (c % csize_c)
 
     # Slot within each (device, local row) group.
     group = (i_dev * pc + j_dev) * rloc + lrow
@@ -92,7 +102,8 @@ def build_2d_plan(A: CsrMatrix, pr: int, pc: int, dtype,
 
     return Spmv2dPlan(vals=jnp.asarray(vals, dtype=dtype),
                       cols=jnp.asarray(cols), n=n, n_pad=n_pad,
-                      csize=csize, rloc=rloc, pr=pr, pc=pc)
+                      csize=csize, rloc=rloc, pr=pr, pc=pc,
+                      csize_in=csize_c, n_gath=pr * csize_c)
 
 
 def spmv_2d_local(vals_l, cols_l, x_l):
@@ -105,6 +116,16 @@ def spmv_2d_local(vals_l, cols_l, x_l):
     partial_y = jnp.sum(vals_l * xg[cols_l], axis=1)  # (rloc,)
     return jax.lax.psum_scatter(partial_y, COLS, scatter_dimension=0,
                                 tiled=True)           # (csize,)
+
+
+def spmm_2d_local(vals_l, cols_l, X_l):
+    """Multi-RHS 2-D local SpMM: X_l (csize, k) → (csize_out, k).
+    The k columns ride ONE all_gather and ONE psum_scatter — same
+    collective count as a single matvec (the --nrhs composition)."""
+    Xg = jax.lax.all_gather(X_l, ROWS, tiled=True)        # (n_gath, k)
+    partial_y = jnp.einsum("rs,rsk->rk", vals_l, Xg[cols_l])
+    return jax.lax.psum_scatter(partial_y, COLS, scatter_dimension=0,
+                                tiled=True)               # (csize_out, k)
 
 
 @dataclass
@@ -485,6 +506,183 @@ class DistributedBicgstab2d(Solver):
     def solve_fn(self):
         args, jit, pad = self._args, self._jit, self._pad_b
         return lambda b: jit(*args, pad(b))[0]
+
+
+class DistributedBlockCg2d(Solver):
+    """Multi-RHS (block) CG on the 2-D partition: the --nrhs k × --mesh RxC
+    composition. Same precision structure as the 1-D dist_block_cg (f32
+    simultaneous-column inner PCG + double-float f64 per-column residual
+    refinement); the k columns ride ONE all_gather + ONE psum_scatter per
+    operator application (spmm_2d_local / vmapped BSR on TPU)."""
+
+    name = "dist_block_cg2d"
+
+    def __init__(self, A: CsrMatrix, mesh: Mesh, nrhs: int, rtol=1e-10,
+                 inner_rtol=1e-5, maxiter=None, max_refine=6,
+                 ordering: str = "none", local_spmv: str = "auto",
+                 dtype=None, **params):
+        super().__init__(A, **params)
+        del dtype  # fixed structure: f32 SpMM inner / df64 outer
+        if set(mesh.axis_names) != {ROWS, COLS}:
+            raise ValueError(f"need a ({ROWS},{COLS}) mesh, "
+                             f"got {mesh.axis_names}")
+        from lsbench_tpu.parallel.perm import resolve_dist_ordering
+        A, self._ord = resolve_dist_ordering(A, ordering)
+        self.mesh = mesh
+        self.nrhs = int(nrhs)
+        self.rtol = float(rtol)
+        self.inner_rtol = float(inner_rtol)
+        self.maxiter = (int(maxiter) if maxiter is not None
+                        else max(10 * A.nrows, 1000))
+        self.max_refine = int(max_refine)
+
+        (op32_args, op32_specs, mv32, self.local_spmv, plan,
+         cv32) = build_2d_matvec(A, mesh, jnp.float32, local_spmv)
+        (op64_args, op64_specs, mv64, _, plan64,
+         cv64) = build_2d_matvec(A, mesh, jnp.float64, self.local_spmv)
+        assert plan64.n_pad == plan.n_pad
+        self.plan = plan
+        self.n, self.n_pad = plan.n, plan.n_pad
+
+        both = (ROWS, COLS)
+        vec_shard = NamedSharding(mesh, P(both))
+        self.blk_shard = NamedSharding(mesh, P(both, None))
+
+        d = np.ones(self.n_pad)
+        diag = A.diagonal()
+        d[: self.n] = np.where(diag != 0.0, diag, 1.0)
+        inv_diag = jax.device_put(jnp.asarray(1.0 / d, dtype=jnp.float32),
+                                  vec_shard)
+
+        rtol_c, inner_rtol_c = self.rtol, self.inner_rtol
+        maxiter_c, max_refine_c = self.maxiter, self.max_refine
+        n32 = len(op32_specs)
+
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(*op32_specs, *op64_specs, P(both), P(both, None)),
+                 out_specs=(P(both, None), P(None), P(None), P(), P()),
+                 check_vma=cv32 and cv64)
+        def _solve(*args):
+            op32_l = tuple(args[:n32])
+            op64_l = tuple(args[n32:-2])
+            invd_l, B_l = args[-2:]
+
+            # The k columns through one batched collective pair per apply.
+            mm32 = jax.vmap(lambda xc: mv32(op32_l, xc),
+                            in_axes=1, out_axes=1)
+            mm64 = jax.vmap(lambda xc: mv64(op64_l, xc),
+                            in_axes=1, out_axes=1)
+
+            def cdots_psum(*pairs):
+                local = jnp.stack([jnp.einsum("nk,nk->k", u, v)
+                                   for u, v in pairs])
+                s = jax.lax.psum(local, both)
+                return tuple(s[i] for i in range(len(pairs)))
+
+            def block_cg_inner(R32_l):
+                (bn2,) = cdots_psum((R32_l, R32_l))
+                tol2 = jnp.asarray(inner_rtol_c**2, jnp.float32) * bn2
+                X0 = jnp.zeros_like(R32_l)
+                Z0 = invd_l[:, None] * R32_l
+                rz0, rr0 = cdots_psum((R32_l, Z0), (R32_l, R32_l))
+
+                def cond(s):
+                    *_, rr, it = s
+                    return jnp.logical_and(it < maxiter_c,
+                                           jnp.any(rr > tol2))
+
+                def body(s):
+                    X, R, Pb, rz, rr, it = s
+                    active = rr > tol2
+                    Q = mm32(Pb)
+                    (pq,) = cdots_psum((Pb, Q))
+                    safe_pq = jnp.where(pq != 0, pq, 1.0)
+                    alpha = jnp.where(active, rz / safe_pq, 0.0)
+                    X = X + Pb * alpha[None, :]
+                    R = R - Q * alpha[None, :]
+                    Z = invd_l[:, None] * R
+                    rz_new, rr_new = cdots_psum((R, Z), (R, R))
+                    safe_rz = jnp.where(rz != 0, rz, 1.0)
+                    beta = jnp.where(active, rz_new / safe_rz, 0.0)
+                    Pb = Z + Pb * beta[None, :]
+                    return (X, R, Pb, rz_new, rr_new, it + 1)
+
+                X, R, Pb, rz, rr, it = jax.lax.while_loop(
+                    cond, body, (X0, R32_l, Z0, rz0, rr0, jnp.int32(0)))
+                return X, it
+
+            B_l = B_l.astype(jnp.float64)
+            (bn2,) = cdots_psum((B_l, B_l))
+            tol2 = (rtol_c**2) * bn2
+
+            def refine_cond(s):
+                X, R, rr, it_total, passes = s
+                return jnp.logical_and(passes < max_refine_c,
+                                       jnp.any(rr > tol2))
+
+            def refine_body(s):
+                X, R, rr, it_total, passes = s
+                scale = jnp.sqrt(rr)
+                safe = jnp.where(scale > 0, scale, 1.0)
+                R32 = (R.astype(jnp.float32)
+                       * (1.0 / safe).astype(jnp.float32)[None, :])
+                D32, inner_iters = block_cg_inner(R32)
+                D32 = jnp.where(jnp.isfinite(D32), D32, 0.0)
+                X = X + (D32 * safe.astype(jnp.float32)[None, :]
+                         ).astype(jnp.float64)
+                R_new = B_l - mm64(X)
+                (rr_new,) = cdots_psum((R_new, R_new))
+                return (X, R_new, rr_new, it_total + inner_iters,
+                        passes + 1)
+
+            X0 = jnp.zeros_like(B_l)
+            X, R, rr, iters, passes = jax.lax.while_loop(
+                refine_cond, refine_body,
+                (X0, B_l, bn2, jnp.int32(0), jnp.int32(0)))
+            return X, jnp.sqrt(rr), jnp.sqrt(bn2), iters, passes
+
+        self._op_args = (*op32_args, *op64_args, inv_diag)
+        self._jit_solve = jax.jit(_solve)
+
+    def _pad_b(self, B):
+        B = np.asarray(self._ord.permute_b(B), dtype=np.float64)
+        if B.ndim == 1:
+            B = B[:, None]
+        if B.shape != (self.n, self.nrhs):
+            raise ValueError(f"B has shape {B.shape}, expected "
+                             f"({self.n}, {self.nrhs})")
+        Bp = jnp.zeros((self.n_pad, self.nrhs), jnp.float64
+                       ).at[: self.n].set(jnp.asarray(B))
+        return jax.device_put(Bp, self.blk_shard)
+
+    def solve(self, B) -> SolveResult:
+        squeeze = np.asarray(B).ndim == 1
+        X, rnorm, bnorm, iters, passes = self._jit_solve(
+            *self._op_args, self._pad_b(B))
+        rnorm = np.asarray(rnorm)
+        bnorm = np.asarray(bnorm)
+        relres_cols = np.where(bnorm > 0, rnorm / np.maximum(bnorm, 1e-300),
+                               0.0)
+        relres = float(relres_cols.max())
+        X_host = self._ord.unpermute_x(np.asarray(X)[: self.n])
+        x = X_host[:, 0] if squeeze else X_host
+        true_rel = self.true_relres(x, B)
+        return SolveResult(x=x, iters=int(iters), relres=relres,
+                           converged=true_rel <= self.rtol,
+                           extra={"refine_passes": int(passes),
+                                  "nrhs": self.nrhs,
+                                  "method": "simultaneous",
+                                  "relres_cols": relres_cols.tolist(),
+                                  "mesh": (self.plan.pr, self.plan.pc),
+                                  "local_spmv": self.local_spmv,
+                                  "true_relres": true_rel,
+                                  "precision_mode": "fp32_ir"})
+
+    def solve_fn(self):
+        op_args = self._op_args
+        jit_solve = self._jit_solve
+        pad = self._pad_b
+        return lambda B: jit_solve(*op_args, pad(B))[0]
 
 
 def spmv_2d(A: CsrMatrix, mesh: Mesh, x, dtype=jnp.float64):

@@ -114,7 +114,8 @@ def run_dryrun(n_devices: int) -> None:
     # 2-D block partition (all_gather over rows + psum_scatter over cols),
     # on the Pallas-BSR local SpMV (interpret mode off-TPU).
     if n_devices % 2 == 0 and n_devices >= 4:
-        from lsbench_tpu.parallel.dist2d import DistributedCg2d
+        from lsbench_tpu.parallel.dist2d import (DistributedBlockCg2d,
+                                                 DistributedCg2d)
         from lsbench_tpu.parallel.mesh import make_mesh_2d
         mesh2 = make_mesh_2d(2, n_devices // 2)
         res3 = DistributedCg2d(A, mesh2, dtype=jnp.float64, rtol=1e-10,
@@ -122,3 +123,22 @@ def run_dryrun(n_devices: int) -> None:
         x3 = np.asarray(res3.x)
         r3 = np.linalg.norm(b - A.matvec(x3)) / np.linalg.norm(b)
         assert res3.converged and r3 < 1e-8, (res3.iters, res3.relres, r3)
+
+        # 2-D AMG-preconditioned CG: the fully 2-D-sharded hierarchy
+        # (A/P/R per level as rectangular 2-D operators).
+        from lsbench_tpu.parallel.dist_amg2d import DistributedAmgCg2d
+        res4 = DistributedAmgCg2d(A, mesh2, dtype=jnp.float64, rtol=1e-8,
+                                  coarse_n=16, max_levels=3).solve(b)
+        r4 = (np.linalg.norm(b - A.matvec(np.asarray(res4.x)))
+              / np.linalg.norm(b))
+        assert res4.converged and r4 < 1e-7, (res4.iters, res4.relres, r4)
+
+        # 2-D multi-RHS block CG (--nrhs k x --mesh RxC composition).
+        rng2 = np.random.default_rng(1)
+        B2 = np.column_stack([b, rng2.standard_normal(A.nrows)])
+        res5 = DistributedBlockCg2d(A, mesh2, nrhs=2, rtol=1e-6).solve(B2)
+        X5 = np.asarray(res5.x)
+        for j in range(2):
+            r5 = (np.linalg.norm(B2[:, j] - A.matvec(X5[:, j]))
+                  / np.linalg.norm(B2[:, j]))
+            assert r5 < 1e-4, (j, res5.iters, r5)

@@ -146,3 +146,97 @@ def test_cg2d_ordering_roundtrip():
     assert res.converged
     rr = np.linalg.norm(b - A.matvec(np.asarray(res.x))) / np.linalg.norm(b)
     assert rr < 1e-9
+
+
+# ------------------------- 2-D AMG-CG + multi-RHS block CG (r3 next 4)
+
+def test_amg_cg_2d_converges_and_matches_1d():
+    """AMG-preconditioned CG on the 2-D partition: every hierarchy
+    operator (A/P/R per level) 2-D-sharded. Matches the dense solve and
+    the 1-D DistributedAmgCg's iteration count (same hierarchy math)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 simulated devices")
+    from lsbench_tpu.parallel.dist_amg import DistributedAmgCg
+    from lsbench_tpu.parallel.dist_amg2d import DistributedAmgCg2d
+    from lsbench_tpu.parallel.mesh import make_row_mesh
+    A = poisson_2d(13)
+    b = make_rhs(A.nrows)
+    res2 = DistributedAmgCg2d(A, make_mesh_2d(2, 4), rtol=1e-10,
+                              coarse_n=32).solve(b)
+    assert res2.converged
+    assert res2.extra["true_relres"] <= 1e-10
+    np.testing.assert_allclose(np.asarray(res2.x),
+                               np.linalg.solve(A.to_dense(), b),
+                               rtol=1e-6, atol=1e-8)
+    res1 = DistributedAmgCg(A, make_row_mesh(8), rtol=1e-10,
+                            coarse_n=32).solve(b)
+    assert abs(res2.iters - res1.iters) <= 2
+
+
+def test_amg_cg_2d_reference_matrix_classical():
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 simulated devices")
+    from lsbench_tpu.matrix.io import read_matrix
+    from lsbench_tpu.parallel.dist_amg2d import DistributedAmgCg2d
+    A = read_matrix("/root/reference/tests/xn3b_A_18.txt")
+    b = np.arange(A.nrows, dtype=np.float64)
+    res = DistributedAmgCg2d(A, make_mesh_2d(2, 2), rtol=1e-8,
+                             coarsening="classical", theta=0.5,
+                             interp="jacobi", interp_passes=3,
+                             interp_omega=0.5, pmax=8).solve(b)
+    assert res.converged
+    assert res.extra["true_relres"] <= 1e-8
+
+
+def test_block_cg_2d_matches_1d():
+    """Multi-RHS block CG on the 2-D partition (--nrhs x --mesh): per-
+    column direct tolerance, equality with the 1-D dist block CG."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 simulated devices")
+    from lsbench_tpu.matrix.io import read_matrix
+    from lsbench_tpu.parallel.dist2d import DistributedBlockCg2d
+    from lsbench_tpu.parallel.dist_block_cg import DistributedBlockCg
+    from lsbench_tpu.parallel.mesh import make_row_mesh
+    A = read_matrix("/root/reference/tests/xn3b_A_18.txt")
+    rng = np.random.default_rng(0)
+    B = np.column_stack([np.arange(A.nrows, dtype=np.float64),
+                         rng.standard_normal(A.nrows),
+                         rng.standard_normal(A.nrows)])
+    res2 = DistributedBlockCg2d(A, make_mesh_2d(2, 4), nrhs=3,
+                                rtol=1e-10).solve(B)
+    assert res2.converged
+    assert res2.extra["true_relres"] <= 1e-10
+    assert res2.extra["precision_mode"] == "fp32_ir"
+    res1 = DistributedBlockCg(A, make_row_mesh(8), nrhs=3,
+                              rtol=1e-10).solve(B)
+    nb = np.linalg.norm(np.asarray(res1.x))
+    assert (np.linalg.norm(np.asarray(res2.x) - np.asarray(res1.x)) / nb
+            < 1e-8)
+
+
+def test_cli_mesh_amg_and_nrhs_routes(capsys):
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 simulated devices")
+    import json
+
+    from lsbench_tpu.harness.cli import main
+    REF = "/root/reference/tests/xn3b_A_18.txt"
+    rc = main(["--matrix", REF, "--solver", "cg", "--precond",
+               "amg_classical", "--devices", "4", "--mesh", "2x2",
+               "--rtol", "1e-8", "--trials", "1", "--json",
+               "--platform", "cpu"])
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["mesh"] == [2, 2]
+    assert rec["levels"] >= 2
+    assert rec["true_relres"] <= 1e-8
+
+    rc = main(["--matrix", REF, "--solver", "cg", "--nrhs", "2",
+               "--devices", "4", "--mesh", "2x2", "--trials", "1",
+               "--json", "--platform", "cpu"])
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["solver"] == "block_cg"
+    assert rec["nrhs"] == 2
+    assert rec["mesh"] == [2, 2]
+    assert rec["true_relres"] <= 1e-10
