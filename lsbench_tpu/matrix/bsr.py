@@ -83,12 +83,21 @@ class BsrMatrix:
     @staticmethod
     def from_csr(A: CsrMatrix, dtype=jnp.float32,
                  block_rows: int = BR, with_sel: bool = False) -> "BsrMatrix":
-        blocks, block_cols = _bsr_host_layout(A, block_rows)
+        n_groups, S, block_cols, dest, vs = _bsr_layout_plan(A, block_rows)
+        flat = n_groups * S * block_rows * BC
+        if _device_build_wins(flat * jnp.dtype(dtype).itemsize, flat):
+            blocks = _materialize_blocks(
+                (n_groups, S * block_rows, BC), dest, vs, dtype)
+        else:
+            b = np.zeros(flat)
+            b[dest] = vs
+            blocks = jnp.asarray(
+                b.reshape(n_groups, S * block_rows, BC), dtype=dtype)
         sel = None
         if with_sel:
             sel = jnp.asarray(_bsr_selector(block_cols, A.ncols))
         return BsrMatrix(
-            blocks=jnp.asarray(blocks, dtype=dtype),
+            blocks=blocks,
             block_cols=jnp.asarray(block_cols),
             nrows=A.nrows, ncols=A.ncols, nnz=A.nnz, br=block_rows,
             sel=sel)
@@ -160,13 +169,11 @@ class BsrMatrix:
         return y.reshape(-1)[: self.nrows]
 
 
-def _bsr_host_layout(A: CsrMatrix, block_rows: int = BR):
-    """Host-side (numpy) BSR assembly: (blocks f64, block_cols i32).
-
-    Kept device-free so callers needing a transformed upload (e.g. the
-    double-float hi/lo split) never round-trip a 10s-of-MB emulated-f64
-    array through the remote-TPU tunnel — measured MINUTES per direction
-    at reference scale."""
+def _bsr_layout_plan(A: CsrMatrix, block_rows: int = BR):
+    """Scatter plan of the padded BSR layout WITHOUT materializing it:
+    (n_groups, S, block_cols i32, dest int64 flat indices, vals f64).
+    `dest` addresses the flattened (n_groups, S*br, BC) block array —
+    unique per nnz (CSR has unique (r, c))."""
     # Pad groups to a multiple of GPS so the kernel's (GPS*br)-row
     # output tiles are full; padding groups are all-zero, block_col 0.
     BRl = block_rows
@@ -194,16 +201,48 @@ def _bsr_host_layout(A: CsrMatrix, block_rows: int = BR):
     np.cumsum(counts, out=group_start[1:])
     slot_of_pair = np.arange(ugr.size) - group_start[ugr]
 
-    blocks = np.zeros((n_groups, S * BRl, BC), dtype=np.float64)
     block_cols = np.zeros((n_groups, S), dtype=np.int32)
     block_cols[ugr, slot_of_pair] = ucb
 
-    # Scatter nnz into their block slots.
     pr = pair_id                      # aligned with sorted order
     rs, cs, vs = r[order], c[order], v[order]
-    blocks[ugr[pr], slot_of_pair[pr] * BRl + (rs % BRl), cs % BC] = vs
+    dest = (((ugr[pr] * S + slot_of_pair[pr]) * BRl + rs % BRl) * BC
+            + cs % BC)
+    return n_groups, S, block_cols, dest, vs
 
-    return blocks, block_cols
+
+def _device_build_wins(padded_bytes: int, flat_size: int) -> bool:
+    """Materialize the padded blocks ON DEVICE (compact ~nnz·8 B scatter
+    upload + one XLA unique-indices scatter) instead of shipping the
+    padded host array: through the remote-TPU tunnel the padded transfer
+    dominates first-time setup at scale (n=262k AMG: hundreds of MB of
+    layouts → tens of seconds — the VERDICT r3 'first setup 70 s' gap).
+    Gated on TPU + a size worth the scatter; int32 scatter addressing
+    caps the flat size."""
+    return (jax.default_backend() == "tpu" and padded_bytes > (16 << 20)
+            and flat_size < (1 << 31))
+
+
+def _materialize_blocks(shape, dest, vals, dtype) -> jax.Array:
+    flat = int(np.prod(shape))
+    return (jnp.zeros(flat, dtype=dtype)
+            .at[jnp.asarray(dest, dtype=jnp.int32)]
+            .set(jnp.asarray(np.asarray(vals, dtype=jnp.dtype(dtype))),
+                 unique_indices=True)
+            .reshape(shape))
+
+
+def _bsr_host_layout(A: CsrMatrix, block_rows: int = BR):
+    """Host-side (numpy) BSR assembly: (blocks f64, block_cols i32).
+
+    Kept device-free so callers needing a transformed upload (e.g. the
+    double-float hi/lo split) never round-trip a 10s-of-MB emulated-f64
+    array through the remote-TPU tunnel — measured MINUTES per direction
+    at reference scale."""
+    n_groups, S, block_cols, dest, vs = _bsr_layout_plan(A, block_rows)
+    blocks = np.zeros(n_groups * S * block_rows * BC, dtype=np.float64)
+    blocks[dest] = vs
+    return blocks.reshape(n_groups, S * block_rows, BC), block_cols
 
 
 def classed_layout_wins(A: CsrMatrix, block_rows: int = BR,
@@ -284,14 +323,28 @@ class BsrDf64:
 
     @staticmethod
     def from_csr(A: CsrMatrix, block_rows: int = BR) -> "BsrDf64":
-        # hi/lo split entirely on HOST (numpy f64), then two f32 uploads.
-        # Routing through a device f64 BsrMatrix round-trips the blocks as
-        # emulated f64 over the remote-TPU tunnel — measured minutes at
-        # reference scale vs <1 s this way.
-        b64, block_cols = _bsr_host_layout(A, block_rows)
-        hi = b64.astype(np.float32)
-        lo = (b64 - hi.astype(np.float64)).astype(np.float32)
-        return BsrDf64(blocks_hi=jnp.asarray(hi), blocks_lo=jnp.asarray(lo),
+        # hi/lo split entirely on HOST (numpy f64, per-nnz), then two f32
+        # uploads. Routing through a device f64 BsrMatrix round-trips the
+        # blocks as emulated f64 over the remote-TPU tunnel — measured
+        # minutes at reference scale vs <1 s this way. At scale the
+        # padded arrays themselves materialize ON DEVICE from the compact
+        # nnz scatter (shared dest for hi and lo).
+        n_groups, S, block_cols, dest, vs = _bsr_layout_plan(A, block_rows)
+        hi_nnz = vs.astype(np.float32)
+        lo_nnz = (vs - hi_nnz.astype(np.float64)).astype(np.float32)
+        flat = n_groups * S * block_rows * BC
+        shape = (n_groups, S * block_rows, BC)
+        if _device_build_wins(flat * 8, flat):
+            hi = _materialize_blocks(shape, dest, hi_nnz, jnp.float32)
+            lo = _materialize_blocks(shape, dest, lo_nnz, jnp.float32)
+        else:
+            hb = np.zeros(flat, dtype=np.float32)
+            hb[dest] = hi_nnz
+            lb = np.zeros(flat, dtype=np.float32)
+            lb[dest] = lo_nnz
+            hi, lo = jnp.asarray(hb.reshape(shape)), jnp.asarray(
+                lb.reshape(shape))
+        return BsrDf64(blocks_hi=hi, blocks_lo=lo,
                        block_cols=jnp.asarray(block_cols), nrows=A.nrows,
                        ncols=A.ncols, nnz=A.nnz, br=block_rows)
 
@@ -404,7 +457,6 @@ class BsrClassed:
                 continue
             local_of_sg = np.full(n_sg, -1, dtype=np.int64)
             local_of_sg[sgs] = np.arange(sgs.size)
-            blocks = np.zeros((sgs.size * GPS, S_c * BRl, BC), dtype=np.float64)
             bcols = np.zeros((sgs.size * GPS, S_c), dtype=np.int32)
             pmask = local_of_sg[sg_of_pair] >= 0
             lg = local_of_sg[sg_of_pair[pmask]] * GPS + ugr[pmask] % GPS
@@ -412,9 +464,18 @@ class BsrClassed:
             nmask = pmask[pair_id]  # nnz whose pair belongs to this class
             pr = pair_id[nmask]
             lgn = local_of_sg[sg_of_pair[pr]] * GPS + ugr[pr] % GPS
-            blocks[lgn, slot_of_pair[pr] * BRl + (rs[nmask] % BRl),
-                   cs[nmask] % BC] = vs[nmask]
-            blocks_l.append(jnp.asarray(blocks, dtype=dtype))
+            shape = (sgs.size * GPS, S_c * BRl, BC)
+            dest = (((lgn * S_c + slot_of_pair[pr]) * BRl
+                     + rs[nmask] % BRl) * BC + cs[nmask] % BC)
+            flat = sgs.size * GPS * S_c * BRl * BC
+            if _device_build_wins(flat * jnp.dtype(dtype).itemsize, flat):
+                blocks_l.append(_materialize_blocks(shape, dest, vs[nmask],
+                                                    dtype))
+            else:
+                blocks = np.zeros(flat, dtype=np.float64)
+                blocks[dest] = vs[nmask]
+                blocks_l.append(jnp.asarray(blocks.reshape(shape),
+                                            dtype=dtype))
             bcols_l.append(jnp.asarray(bcols.reshape(-1)))
             oidx_l.append(jnp.asarray(sgs, dtype=jnp.int32))
 
