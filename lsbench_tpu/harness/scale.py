@@ -36,6 +36,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="timed repetitions (median reported)")
     p.add_argument("--strategy", default="auto",
                    help="1-D exchange strategy: auto | halo | all_gather")
+    p.add_argument("--ordering", default="none",
+                   help="fill-reducing/banding ordering applied inside the "
+                        "solvers (rcm enables the halo strategy on the "
+                        "reference matrices)")
     p.add_argument("--mesh2d", action="store_true",
                    help="also sweep 2-D (rows x cols) meshes where D = r*c")
     p.add_argument("--platform", default=None,
@@ -64,6 +68,52 @@ def _mesh2d_shape(d: int) -> tuple[int, int]:
     return r, d // r
 
 
+def run_sweep(A, counts, iters=100, reps=3, strategy="auto",
+              ordering="none", mesh2d=False):
+    """Device-count sweep of fixed-iteration distributed CG on `A`.
+    Returns the list of per-configuration records (also the importable
+    core of `python -m lsbench_tpu.scale` — _results_scale_sweep.py uses
+    it to regenerate RESULTS.md §7)."""
+    import numpy as np
+
+    from lsbench_tpu.parallel.dist_cg import DistributedCg
+    from lsbench_tpu.parallel.mesh import make_mesh_2d, make_row_mesh
+
+    b = np.arange(A.nrows, dtype=np.float64)
+    work = A.nnz * iters
+    records = []
+    base = None
+    for d in counts:
+        solver = DistributedCg(A, make_row_mesh(d), rtol=0.0,
+                               maxiter=iters, strategy=strategy,
+                               ordering=ordering)
+        elapsed = _time_solver(solver, b, reps)
+        thru = work / elapsed
+        if base is None:
+            base = thru
+        rec = {"mesh": f"{d}x1", "devices": d, "elapsed_s": round(elapsed, 6),
+               "nnz_per_s": round(thru, 1),
+               "speedup": round(thru / base, 3),
+               "efficiency": round(thru / (base * d), 3),
+               "strategy": solver.strategy}
+        records.append(rec)
+        if mesh2d and d >= 4:
+            r, c = _mesh2d_shape(d)
+            if r > 1:
+                from lsbench_tpu.parallel.dist2d import DistributedCg2d
+                s2 = DistributedCg2d(A, make_mesh_2d(r, c), rtol=0.0,
+                                     maxiter=iters, ordering=ordering)
+                e2 = _time_solver(s2, b, reps)
+                t2 = work / e2
+                records.append({
+                    "mesh": f"{r}x{c}", "devices": d,
+                    "elapsed_s": round(e2, 6), "nnz_per_s": round(t2, 1),
+                    "speedup": round(t2 / base, 3),
+                    "efficiency": round(t2 / (base * d), 3),
+                    "strategy": "2d"})
+    return records
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     import os
@@ -73,11 +123,7 @@ def main(argv=None) -> int:
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
-    import numpy as np
-
     from lsbench_tpu.matrix.io import read_matrix
-    from lsbench_tpu.parallel.dist_cg import DistributedCg
-    from lsbench_tpu.parallel.mesh import make_mesh_2d, make_row_mesh
 
     counts = [int(x) for x in args.devices.split(",") if x]
     have = jax.device_count()
@@ -91,38 +137,9 @@ def main(argv=None) -> int:
         return 1
 
     A = read_matrix(args.matrix)
-    b = np.arange(A.nrows, dtype=np.float64)
-    work = A.nnz * args.iters
-
-    records = []
-    base = None
-    for d in usable:
-        solver = DistributedCg(A, make_row_mesh(d), rtol=0.0,
-                               maxiter=args.iters, strategy=args.strategy)
-        elapsed = _time_solver(solver, b, args.reps)
-        thru = work / elapsed
-        if base is None:
-            base = thru
-        rec = {"mesh": f"{d}x1", "devices": d, "elapsed_s": round(elapsed, 6),
-               "nnz_per_s": round(thru, 1),
-               "speedup": round(thru / base, 3),
-               "efficiency": round(thru / (base * d), 3),
-               "strategy": solver.strategy}
-        records.append(rec)
-        if args.mesh2d and d >= 4:
-            r, c = _mesh2d_shape(d)
-            if r > 1:
-                from lsbench_tpu.parallel.dist2d import DistributedCg2d
-                s2 = DistributedCg2d(A, make_mesh_2d(r, c), rtol=0.0,
-                                     maxiter=args.iters)
-                e2 = _time_solver(s2, b, args.reps)
-                t2 = work / e2
-                records.append({
-                    "mesh": f"{r}x{c}", "devices": d,
-                    "elapsed_s": round(e2, 6), "nnz_per_s": round(t2, 1),
-                    "speedup": round(t2 / base, 3),
-                    "efficiency": round(t2 / (base * d), 3),
-                    "strategy": "2d"})
+    records = run_sweep(A, usable, iters=args.iters, reps=args.reps,
+                        strategy=args.strategy, ordering=args.ordering,
+                        mesh2d=args.mesh2d)
 
     hdr = f"{'mesh':>6} {'devices':>7} {'elapsed_s':>10} {'Gnnz/s':>8} " \
           f"{'speedup':>8} {'eff':>6} {'strategy':>10}"

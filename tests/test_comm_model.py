@@ -1,0 +1,131 @@
+"""Communication accounting (parallel/comm_model.py) vs the collectives
+the distributed solvers ACTUALLY issue.
+
+The solvers' collective schedules are static (built from the same plans
+the model reads), so the trace of one jitted solve must contain exactly
+the modeled counts: monkeypatched jax.lax.ppermute / jax.lax.psum /
+jax.lax.all_gather record every call made while the shard_map body is
+traced (a while_loop body traces ONCE, so body collectives appear once —
+the per-iteration counts — plus the init-phase psums)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lsbench_tpu.matrix.generate import poisson_2d
+from lsbench_tpu.matrix.io import read_matrix
+from lsbench_tpu.parallel.comm_model import (cg2d_comm_volume,
+                                             cg_comm_volume,
+                                             efficiency_crossover_n,
+                                             predict_efficiency)
+from lsbench_tpu.parallel.mesh import make_mesh_2d, make_row_mesh
+
+REF = "/root/reference/tests/xn3b_A_10.txt"
+
+
+@pytest.fixture()
+def collective_counts(monkeypatch):
+    counts = {"ppermute": 0, "psum": 0, "all_gather": 0, "psum_scatter": 0}
+    orig = {k: getattr(jax.lax, k) for k in counts}
+
+    def wrap(name):
+        def f(*a, **k):
+            counts[name] += 1
+            return orig[name](*a, **k)
+        return f
+
+    for k in counts:
+        monkeypatch.setattr(jax.lax, k, wrap(k))
+    return counts
+
+
+def _require(n):
+    if len(jax.devices()) < n:
+        pytest.skip(f"needs {n} simulated devices")
+
+
+def test_cg_halo_counts_match_trace(collective_counts):
+    _require(4)
+    from lsbench_tpu.ordering.rcm import rcm_ordering
+    A = read_matrix(REF)
+    A = A.permuted(rcm_ordering(A))   # banded → halo exists at 4 devices
+    b = np.arange(A.nrows, dtype=np.float64)
+    cv = cg_comm_volume(A, 4, jnp.float64, strategy="halo")
+    assert cv.strategy == "halo"
+
+    from lsbench_tpu.parallel.dist_cg import DistributedCg
+    s = DistributedCg(A, make_row_mesh(4), dtype="float64", rtol=0.0,
+                      maxiter=3, strategy="halo", local_spmv="ell")
+    assert s.plan.halo == cv.halo                      # same plan
+    s.solve(b)   # forces the trace
+    # Body (one iteration): 2 ppermutes for the halo exchange, 2 fused
+    # psums. Init phase adds 2 more psums (b·b; r·z with r·r) and no SpMV.
+    assert collective_counts["ppermute"] == cv.ppermutes_per_spmv
+    assert collective_counts["psum"] == cv.psums_per_iter + 2
+    assert collective_counts["all_gather"] == 0
+    # Byte accounting: both boundary strips of H rows.
+    assert cv.bytes_per_spmv == 2 * cv.halo * 8
+
+
+def test_cg_all_gather_counts_match_trace(collective_counts):
+    _require(4)
+    A = read_matrix(REF)
+    b = np.arange(A.nrows, dtype=np.float64)
+    cv = cg_comm_volume(A, 4, jnp.float64, strategy="all_gather")
+    assert cv.strategy == "all_gather"
+
+    from lsbench_tpu.parallel.dist_cg import DistributedCg
+    s = DistributedCg(A, make_row_mesh(4), dtype="float64", rtol=0.0,
+                      maxiter=3, strategy="all_gather", local_spmv="ell")
+    s.solve(b)
+    assert collective_counts["all_gather"] == 1        # one per SpMV
+    assert collective_counts["ppermute"] == 0
+    assert collective_counts["psum"] == cv.psums_per_iter + 2
+    # Inbound complement: everything this device does not own.
+    nloc = s.n_pad // 4
+    assert cv.bytes_per_spmv == (s.n_pad - nloc) * 8
+
+
+def test_cg2d_counts_match_trace(collective_counts):
+    _require(8)
+    A = poisson_2d(16)
+    b = np.arange(A.nrows, dtype=np.float64)
+    cv = cg2d_comm_volume(A, 2, 4, jnp.float64)
+
+    from lsbench_tpu.parallel.dist2d import DistributedCg2d
+    s = DistributedCg2d(A, make_mesh_2d(2, 4), dtype="float64", rtol=0.0,
+                        maxiter=3, local_spmv="ell")
+    s.solve(b)
+    assert collective_counts["all_gather"] == 1        # rows axis
+    assert collective_counts["psum_scatter"] == 1      # cols axis
+    assert collective_counts["psum"] == cv.psums_per_iter + 2
+    assert cv.bytes_per_spmv == (1 + 3) * s.plan.csize * 8
+
+
+def test_model_structure():
+    """Latency-bound at reference size, compute-bound at scale — the
+    structural claim RESULTS.md §7 makes, pinned numerically."""
+    A = read_matrix(REF)
+    cv8 = cg_comm_volume(A, 8, jnp.float32)
+    # Reference scale, measured 22.8 µs/iter: psum hops dominate.
+    eff_ref, _ = predict_efficiency(22.8e-6, cv8)
+    assert eff_ref < 0.25
+    # n=262k-class per-iteration time (~831 µs measured classed SpMV):
+    # just under the 80% bar at 8 chips (predicted ~0.78 — the crossover
+    # sits a bit above 262k; RESULTS.md §7 quotes the exact n).
+    eff_big, _ = predict_efficiency(831e-6, cv8)
+    assert eff_big > 0.75
+    # Efficiency is monotone in t1 and decreasing in latency.
+    assert predict_efficiency(100e-6, cv8)[0] < eff_big
+    worse, _ = predict_efficiency(831e-6, cv8, hop_latency_s=1e-5)
+    assert worse < eff_big
+
+    n80 = efficiency_crossover_n(5.0, 1.58, 8)
+    assert 10_000 < n80 < 10_000_000
+
+
+def test_crossover_unreachable_returns_sentinel():
+    assert efficiency_crossover_n(5.0, 1.58, 8, target=0.8,
+                                  hop_latency_s=10.0) == -1
