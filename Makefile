@@ -13,9 +13,11 @@ test:
 tpu-lane:
 	LSBENCH_TPU_TESTS=1 python -m pytest tests/ -m tpu -q
 
-# CPU-only tables (RESULTS.md §1 — AMG cycle factors).
+# CPU-only tables (RESULTS.md §1 — AMG cycle factors; §7 — scaling
+# evidence: sim sweep + comm volumes + ICI model).
 results-cpu:
 	python _results_amg.py | tee _results_amg.out
+	python _results_scale_sweep.py | tee _results_scale_sweep.out
 
 # Full measurement refresh (TPU rig; hours on a cold compile cache).
 # _results_cli / _results_prod checkpoint to .jsonl and resume.
@@ -24,6 +26,7 @@ results: results-cpu
 	python _results_prod.py
 	python _results_dist_hw.py | tee _results_dist_hw.jsonl
 	python _results_scale.py | tee _results_scale.out
+	python _results_spchol.py | tee _results_spchol.jsonl
 
 bench:
 	python bench.py

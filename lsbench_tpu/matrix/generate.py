@@ -59,6 +59,36 @@ def poisson_3d(nx: int, ny: int | None = None, nz: int | None = None) -> CsrMatr
                               np.concatenate(vals), nrows=n, ncols=n)
 
 
+def sem_2d(ne: int, p: int = 2, shift: float = 1e-3) -> CsrMatrix:
+    """SEM-type SPD matrix: ne × ne spectral elements of order p on a 2-D
+    quad mesh; every element's (p+1)² nodes form a clique (the assembled
+    pressure-Poisson pattern of tj7a/xn3b — SURVEY.md §2.1: ~23 nnz/row
+    at p=2 with strong row-width skew: interior nodes couple within one
+    element, edge nodes within two, corner nodes within four).
+
+    Values: sum of element clique Laplacians (m·I − J per element, PSD)
+    + `shift`·I — SPD with the SEM sparsity pattern; conditioning is mild
+    (the pattern, skew, and bandwidth are what the scale experiments
+    need, not the reference's exact spectrum)."""
+    nn = ne * p + 1
+    n = nn * nn
+    idx = np.arange(n).reshape(nn, nn)
+    m = (p + 1) ** 2
+    # Node ids of every element: (ne*ne, p+1, p+1) windows.
+    ex = np.arange(ne) * p
+    wins = idx[ex[:, None, None, None] + np.arange(p + 1)[None, None, :, None],
+               ex[None, :, None, None] + np.arange(p + 1)[None, None, None, :]]
+    nodes = wins.reshape(ne * ne, m)
+    # Clique Laplacian per element: A_e = m·I − 1 (off-diag −1, diag m−1).
+    r = np.repeat(nodes, m, axis=1).ravel()
+    c = np.tile(nodes, (1, m)).ravel()
+    v = np.where(r == c, float(m - 1), -1.0)
+    dr = np.arange(n)
+    return CsrMatrix.from_coo(
+        np.concatenate([r, dr]), np.concatenate([c, dr]),
+        np.concatenate([v, np.full(n, shift)]), nrows=n, ncols=n)
+
+
 def random_spd(n: int, nnz_per_row: int = 23, seed: int = 0) -> CsrMatrix:
     """Random diagonally-dominant SPD matrix with ~nnz_per_row entries/row.
 

@@ -116,9 +116,10 @@ def ic0_precond(A: CsrMatrix, dtype, shift: float = 0.0, **_):
     cp, ci, cx = ic0_factor(A, shift=shift)
     n = A.nrows
     state, meta = pack_tri(cp, ci, cx, n, dtype)
-    Rf, Rb = meta["Rf"], meta["Rb"]
+    rs_f, rs_b = meta["rs_f"], meta["rs_b"]
 
     def apply(state, r):
-        return apply_tri(state, r, n=n, Rf=Rf, Rb=Rb).astype(r.dtype)
+        return apply_tri(state, r, n=n, rs_f=rs_f,
+                         rs_b=rs_b).astype(r.dtype)
 
     return state, apply

@@ -177,56 +177,94 @@ def _level_schedule(n, row_offs, row_cols):
     return level
 
 
+def _segment_levels(sizes: np.ndarray, max_factor: float = 1.5):
+    """Partition the ordered level sequence into contiguous segments so
+    each segment's flat padding (seg_len · max_size_in_seg) stays within
+    `max_factor` of its true content — level sizes span 4+ orders of
+    magnitude (a few wide levels, thousands of tiny tail levels), so
+    one global pad width wastes ~20× at n=262k (measured; VERDICT r3
+    next 2's blocker)."""
+    segs = []
+    start, T, s = 0, 0, 0.0
+    for l, sz in enumerate(sizes):
+        T2, s2 = max(T, int(sz)), s + float(sz)
+        if l > start and T2 * (l - start + 1) > max_factor * s2:
+            segs.append((start, l))
+            start, T, s = l, int(sz), float(sz)
+        else:
+            T, s = T2, s2
+    segs.append((start, len(sizes)))
+    return segs
+
+
 def _pack_levels(n, row_offs, row_cols, row_vals, diag, level, dtype):
     """Flatten the ragged (level → rows → nnz) structure into scan-ready
-    flat-per-level arrays (one segment-sum per level, not [R,K] padding):
-      rows [L,R]  — row ids this level solves (pad → dummy slot n)
-      slot [L,T]  — within-level segment id of each nnz (pad → R)
-      cols [L,T], vals [L,T] — off-diagonal entries (pad → col n, val 0)
-      dinv [L,R]  — 1/diag of each row
-    T = max total nnz in any level, so memory is O(nnz + L·max_level_nnz),
-    not O(L·R·K). Fully vectorized packing."""
+    flat-per-level arrays (one segment-sum per level, not [R,K] padding),
+    SEGMENTED so padding stays bounded: levels are grouped into contiguous
+    runs of similar size (_segment_levels) and each run is packed with its
+    own (T, R):
+      per segment: rows [L,R] (pad → dummy slot n), slot [L,T] (pad → R),
+                   cols/vals [L,T] (pad → col n, val 0), dinv [L,R]
+    Returns (segments, total_padded, max_R) where `segments` is a list of
+    (rows, slot, cols, vals, dinv, R) pytrees executed in order."""
     nlev = int(level.max()) + 1 if n else 1
     lens = np.diff(row_offs)
     order = np.argsort(level, kind="stable")
     lvl_sorted = level[order]
     counts = np.bincount(lvl_sorted, minlength=nlev)
-    R = max(1, int(counts.max()))
     level_start = np.concatenate([[0], np.cumsum(counts)[:-1]])
     slot_of_row = np.arange(n) - level_start[lvl_sorted]
 
     lens_sorted = lens[order]
     level_nnz = np.zeros(nlev, dtype=np.int64)
     np.add.at(level_nnz, lvl_sorted, lens_sorted)
-    T = max(1, int(level_nnz.max()))
     nnz_cum = np.cumsum(lens_sorted) - lens_sorted      # global excl. cumsum
     level_nnz_start = np.zeros(nlev, dtype=np.int64)
     np.cumsum(level_nnz, out=level_nnz_start[:])        # inclusive
     level_nnz_start = np.concatenate([[0], level_nnz_start[:-1]])
     t_off = nnz_cum - level_nnz_start[lvl_sorted]       # within-level offset
 
-    total = int(lens_sorted.sum())
-    intra = np.arange(total) - np.repeat(nnz_cum, lens_sorted)
-    dest = np.repeat(lvl_sorted * T + t_off, lens_sorted) + intra
-    src = np.repeat(row_offs[order], lens_sorted) + intra
+    # Segment on the combined row+nnz footprint per level.
+    segs = _segment_levels(level_nnz + counts)
 
-    rows = np.full((nlev, R), n, dtype=np.int32)
-    dinv = np.zeros((nlev, R))
-    rows[lvl_sorted, slot_of_row] = order
-    dinv[lvl_sorted, slot_of_row] = 1.0 / diag[order]
+    row_cum = np.concatenate([[0], np.cumsum(counts)])  # rows before level l
+    segments = []
+    seg_R = []      # static per-segment row pad (NOT in the traced pytree)
+    total_padded = 0
+    for (l0, l1) in segs:
+        L = l1 - l0
+        T = max(1, int(level_nnz[l0:l1].max()))
+        R = max(1, int(counts[l0:l1].max()))
+        r_sel = slice(row_cum[l0], row_cum[l1])         # rows of these levels
+        lv_loc = lvl_sorted[r_sel] - l0
+        sl_loc = slot_of_row[r_sel]
+        rows = np.full((L, R), n, dtype=np.int32)
+        dinv = np.zeros((L, R))
+        rows[lv_loc, sl_loc] = order[r_sel]
+        dinv[lv_loc, sl_loc] = 1.0 / diag[order[r_sel]]
 
-    cols = np.full(nlev * T, n, dtype=np.int32)
-    vals = np.zeros(nlev * T)
-    slot = np.full(nlev * T, R, dtype=np.int32)
-    cols[dest] = row_cols[src]
-    vals[dest] = row_vals[src]
-    slot[dest] = np.repeat(slot_of_row, lens_sorted)
-
-    return (jnp.asarray(rows), jnp.asarray(slot.reshape(nlev, T)),
-            jnp.asarray(cols.reshape(nlev, T)),
-            jnp.asarray(vals.reshape(nlev, T), dtype=dtype),
-            jnp.asarray(dinv, dtype=dtype),
-            nlev * T, R)
+        cols = np.full(L * T, n, dtype=np.int32)
+        vals = np.zeros(L * T)
+        slot = np.full(L * T, R, dtype=np.int32)
+        lens_seg = lens_sorted[r_sel]
+        total = int(lens_seg.sum())
+        if total:
+            nnz_cum_seg = nnz_cum[r_sel]
+            intra = (np.arange(total)
+                     - np.repeat(nnz_cum_seg - nnz_cum_seg[0], lens_seg))
+            dest = np.repeat(lv_loc * T + t_off[r_sel], lens_seg) + intra
+            src = (np.repeat(row_offs[order[r_sel]], lens_seg) + intra)
+            cols[dest] = row_cols[src]
+            vals[dest] = row_vals[src]
+            slot[dest] = np.repeat(sl_loc, lens_seg)
+        segments.append((jnp.asarray(rows),
+                         jnp.asarray(slot.reshape(L, T)),
+                         jnp.asarray(cols.reshape(L, T)),
+                         jnp.asarray(vals.reshape(L, T), dtype=dtype),
+                         jnp.asarray(dinv, dtype=dtype)))
+        seg_R.append(R)
+        total_padded += L * T
+    return segments, seg_R, total_padded
 
 
 def pack_tri(cp, ci, cx, n, dtype):
@@ -247,7 +285,7 @@ def pack_tri(cp, ci, cx, n, dtype):
     np.cumsum(np.bincount(r, minlength=n), out=roffs[1:])
 
     lev_f = _level_schedule(n, roffs, c)
-    packed_f = _pack_levels(n, roffs, c, v, diag, lev_f, dtype)
+    packed_f, rs_f, pad_f = _pack_levels(n, roffs, c, v, diag, lev_f, dtype)
 
     # Backward solve rows: row i of Lᵀ references j > i where L[j,i] ≠ 0 —
     # i.e. the CSC column i of L minus the diagonal.
@@ -265,51 +303,59 @@ def pack_tri(cp, ci, cx, n, dtype):
         js = ucols[uoffs[i]:uoffs[i + 1]]
         if js.size:
             lev_b[i] = lev_b[js].max() + 1
-    packed_b = _pack_levels(n, uoffs, ucols, uvals, diag, lev_b, dtype)
+    packed_b, rs_b, pad_b = _pack_levels(n, uoffs, ucols, uvals, diag, lev_b,
+                                         dtype)
 
-    state = {"f": packed_f[:5], "b": packed_b[:5]}
-    meta = {"Rf": packed_f[6], "Rb": packed_b[6],
-            "nlev_f": int(lev_f.max()) + 1, "nlev_b": int(lev_b.max()) + 1,
-            "waste": (packed_f[5] + packed_b[5]) / max(1, 2 * (r.size + n))}
+    state = {"f": packed_f, "b": packed_b}
+    meta = {"nlev_f": int(lev_f.max()) + 1, "nlev_b": int(lev_b.max()) + 1,
+            "rs_f": rs_f, "rs_b": rs_b,
+            "n_segments": len(packed_f) + len(packed_b),
+            "waste": (pad_f + pad_b) / max(1, 2 * (r.size + n))}
     return state, meta
 
 
-def _sweep(packed, R, n, b):
-    """One level-scheduled triangular sweep; b is length n+1 (pad slot)."""
-    def step(x, lv):
-        rw, sl, cl, vl, di = lv
-        contrib = vl * x[cl]
-        s = jax.ops.segment_sum(contrib, sl, num_segments=R + 1,
-                                indices_are_sorted=True)[:R]
-        xi = (b[rw] - s) * di
-        return x.at[rw].set(xi), None
+def _sweep(packed_segs, seg_R, n, b):
+    """One level-scheduled triangular sweep over the packed SEGMENTS (run
+    in order — each is a scan with its own pad widths; `seg_R` are the
+    STATIC per-segment row pads); b is length n+1 (pad slot)."""
+    x = jnp.zeros(n + 1, dtype=b.dtype)
+    for (rw_s, sl_s, cl_s, vl_s, di_s), R in zip(packed_segs, seg_R):
+        def step(x, lv, R=R):
+            rw, sl, cl, vl, di = lv
+            contrib = vl * x[cl]
+            s = jax.ops.segment_sum(contrib, sl, num_segments=R + 1,
+                                    indices_are_sorted=True)[:R]
+            xi = (b[rw] - s) * di
+            return x.at[rw].set(xi), None
 
-    x0 = jnp.zeros(n + 1, dtype=b.dtype)
-    x, _ = jax.lax.scan(step, x0, packed)
+        x, _ = jax.lax.scan(step, x, (rw_s, sl_s, cl_s, vl_s, di_s))
     return x[:n]
 
 
-def apply_tri(state, b, *, n, Rf, Rb):
+def apply_tri(state, b, *, n, rs_f, rs_b):
     """x = (L Lᵀ)⁻¹ b via the packed level schedules (jittable; `state`
-    flows through as a pytree argument, only ints are closed over)."""
-    dtype = state["f"][3].dtype
+    flows through as a pytree ARGUMENT — closing over it would bake the
+    O(fill) arrays into the executable as constants, which measured
+    12.9 GB at n=262k and breaks the remote-compile tunnel)."""
+    dtype = state["f"][0][3].dtype
     b = b.astype(dtype)
     bp = jnp.concatenate([b, jnp.zeros(1, dtype)])
-    y = _sweep(state["f"], Rf, n, bp)
+    y = _sweep(state["f"], rs_f, n, bp)
     yp = jnp.concatenate([y, jnp.zeros(1, dtype)])
-    return _sweep(state["b"], Rb, n, yp)
+    return _sweep(state["b"], rs_b, n, yp)
 
 
 def build_level_solver(cp, ci, cx, n, dtype):
-    """Return jitted x = solve(b) applying L then Lᵀ by level schedule."""
+    """Return (state, apply) with x = apply(state, b) applying L then Lᵀ
+    by segmented level schedule — callers must thread `state` through
+    their own jit as an argument (the static R pads are closed over)."""
     state, meta = pack_tri(cp, ci, cx, n, dtype)
-    Rf, Rb = meta["Rf"], meta["Rb"]
+    rs_f, rs_b = meta["rs_f"], meta["rs_b"]
 
-    @jax.jit
-    def solve(b):
-        return apply_tri(state, b, n=n, Rf=Rf, Rb=Rb)
+    def apply_fn(state, b):
+        return apply_tri(state, b, n=n, rs_f=rs_f, rs_b=rs_b)
 
-    return solve, meta["nlev_f"], meta["nlev_b"], meta["waste"]
+    return state, apply_fn, meta["nlev_f"], meta["nlev_b"], meta["waste"]
 
 
 # ------------------------------------------------------------------- solver
@@ -373,9 +419,10 @@ class SparseCholeskySolver(Solver):
                                    {"cp": cp, "ci": ci, "cx": cx})
         self.fill_nnz = int(cp[-1])
         _t0 = _time.perf_counter()
-        solve, self.n_levels_f, self.n_levels_b, self.pad_waste = \
-            build_level_solver(cp, ci, cx, n, level_dtype)
+        (tri_state, tri_apply, self.n_levels_f, self.n_levels_b,
+         self.pad_waste) = build_level_solver(cp, ci, cx, n, level_dtype)
         self.setup_breakdown["level_build_s"] = _time.perf_counter() - _t0
+        self._tri_state = tri_state
 
         perm_dev, inv_dev = self._perm, self._inv
 
@@ -383,10 +430,11 @@ class SparseCholeskySolver(Solver):
             from lsbench_tpu.matrix.bsr import BsrDf64
             from lsbench_tpu.ops.spmv_pallas import spmv_bsr_df64
             op64 = BsrDf64.from_csr(Ap)
+            self._op64 = op64
             rtol_c, max_refine_c = self.rtol, self.max_refine
 
             @jax.jit
-            def _solve(b):
+            def _solve(tri, op64, b):
                 b = b.astype(jnp.float64)
                 bp = b if perm_dev is None else b[perm_dev]
                 tol2 = (rtol_c ** 2) * jnp.vdot(bp, bp)
@@ -403,7 +451,7 @@ class SparseCholeskySolver(Solver):
                     safe = jnp.where(scale > 0, scale, 1.0)
                     r32 = (r.astype(jnp.float32)
                            * (1.0 / safe).astype(jnp.float32))
-                    d32 = solve(r32)
+                    d32 = tri_apply(tri, r32)
                     x = x + (d32 * safe.astype(jnp.float32)).astype(
                         jnp.float64)
                     r_new = bp - spmv_bsr_df64(op64, x)
@@ -414,6 +462,8 @@ class SparseCholeskySolver(Solver):
                 x, r, rr, _, passes = jax.lax.while_loop(
                     cond, body, (x0, bp, rr0, jnp.inf, jnp.int32(0)))
                 return x if inv_dev is None else x[inv_dev]
+
+            self._solve_args = (tri_state, op64)
         else:
             # fp64 sweeps directly — but the factor is of the SYMMETRIZED
             # operator while the workload is symmetric only to ~1e-7
@@ -426,7 +476,7 @@ class SparseCholeskySolver(Solver):
             rtol_c, max_refine_c = self.rtol, self.max_refine
 
             @jax.jit
-            def _solve(b):
+            def _solve(tri, ell_true, b):
                 bp = (b if perm_dev is None else b[perm_dev]).astype(dtype)
                 tol2 = (rtol_c ** 2) * jnp.vdot(bp, bp)
 
@@ -438,22 +488,24 @@ class SparseCholeskySolver(Solver):
 
                 def body(s):
                     x, r, rr, rr_prev, passes = s
-                    x = x + solve(r)
+                    x = x + tri_apply(tri, r)
                     r_new = bp - spmv_ell(ell_true, x)
                     return (x, r_new, jnp.vdot(r_new, r_new), rr, passes + 1)
 
-                x0 = solve(bp)
+                x0 = tri_apply(tri, bp)
                 r0 = bp - spmv_ell(ell_true, x0)
                 rr0 = jnp.vdot(r0, r0)
                 x, _, _, _, _ = jax.lax.while_loop(
                     cond, body, (x0, r0, rr0, jnp.inf, jnp.int32(0)))
                 return x if inv_dev is None else x[inv_dev]
 
+            self._solve_args = (tri_state, ell_true)
+
         self._jit_solve = _solve
 
     def solve(self, b) -> SolveResult:
         b = jnp.asarray(b)
-        x = self._jit_solve(b)
+        x = self._jit_solve(*self._solve_args, b)
         relres = self.residual_norm(x, b) / max(
             float(np.linalg.norm(np.asarray(b))), 1e-300)
         return SolveResult(x=x, iters=1, relres=relres,
@@ -463,4 +515,9 @@ class SparseCholeskySolver(Solver):
                                              self.n_levels_b)})
 
     def solve_fn(self):
-        return self._jit_solve
+        args, jit_solve = self._solve_args, self._jit_solve
+        return lambda b: jit_solve(*args, b)
+
+    def solve_fn_args(self):
+        jit_solve = self._jit_solve
+        return ((lambda args, b: jit_solve(*args, b)), self._solve_args)
