@@ -447,6 +447,36 @@ def _spmv_bsr_df64_call(block_cols, xh, xl, bh, bl, br=BR, interpret=False):
         )(block_cols.reshape(-1), xh, xl, bh, bl)
 
 
+_SMEM_IDX_BUDGET_BYTES = 1 << 19
+# Half of v5e's 1 MiB SMEM reserved for the scalar-prefetched block-column
+# ids; larger layouts are chunked into multiple pallas_calls over group
+# ranges (the AOT compiler otherwise rejects the program: "Allocation
+# would exceed memory (space=smem)" — hit at n=262k with AMD-permuted
+# operators, whose scattered columns inflate G·S to ~3.4 MB of int32).
+
+
+def _group_chunks(n_groups: int, S: int, interpret: bool = False):
+    """Group ranges whose (chunk_groups·S) int32 prefetch fits SMEM."""
+    del interpret  # chunking is correct (and testable) in interpret mode too
+    if n_groups * S * 4 <= _SMEM_IDX_BUDGET_BYTES:
+        return [(0, n_groups)]
+    per = max(GPS, (_SMEM_IDX_BUDGET_BYTES // (4 * S)) // GPS * GPS)
+    return [(g, min(g + per, n_groups)) for g in range(0, n_groups, per)]
+
+
+def _df64_call_chunked(block_cols, xh, xl, bh, bl, br, interpret):
+    chunks = _group_chunks(bh.shape[0], block_cols.shape[1], interpret)
+    if len(chunks) == 1:
+        return _spmv_bsr_df64_call(block_cols, xh, xl, bh, bl, br=br,
+                                   interpret=interpret)
+    outs = [_spmv_bsr_df64_call(block_cols[g0:g1], xh, xl,
+                                bh[g0:g1], bl[g0:g1], br=br,
+                                interpret=interpret)
+            for g0, g1 in chunks]
+    return (jnp.concatenate([o[0] for o in outs]),
+            jnp.concatenate([o[1] for o in outs]))
+
+
 def spmv_bsr_df64(A, x: jax.Array, interpret: bool | None = None
                   ) -> jax.Array:
     """y = A @ x in double-float: x (f64) → y (f64), rel error ~2⁻⁴⁹."""
@@ -457,7 +487,7 @@ def spmv_bsr_df64(A, x: jax.Array, interpret: bool | None = None
     x_pad = jnp.zeros(n_cb * BC, dtype=jnp.float64).at[: A.ncols].set(x)
     xh = x_pad.astype(jnp.float32)
     xl = (x_pad - xh.astype(jnp.float64)).astype(jnp.float32)
-    yh, yl = _spmv_bsr_df64_call(
+    yh, yl = _df64_call_chunked(
         A.block_cols, xh.reshape(n_cb, BC), xl.reshape(n_cb, BC),
         A.blocks_hi, A.blocks_lo, br=A.br, interpret=interpret)
     y = yh.astype(jnp.float64) + yl.astype(jnp.float64)
@@ -481,7 +511,7 @@ def spmv_bsr_df64_lo(A, blocks_lo: jax.Array, x: jax.Array,
     x_pad = jnp.zeros(n_cb * BC, dtype=jnp.float64).at[: A.ncols].set(x)
     xh = x_pad.astype(jnp.float32)
     xl = (x_pad - xh.astype(jnp.float64)).astype(jnp.float32)
-    yh, yl = _spmv_bsr_df64_call(
+    yh, yl = _df64_call_chunked(
         A.block_cols, xh.reshape(n_cb, BC), xl.reshape(n_cb, BC),
         A.blocks, blocks_lo, br=A.br, interpret=interpret)
     y = yh.astype(jnp.float64) + yl.astype(jnp.float64)
@@ -575,6 +605,15 @@ def spmv_bsr(A: BsrMatrix, x: jax.Array, interpret: bool | None = None,
         y = _spmv_bsr_onehot_call(A.block_cols, x_table, A.blocks,
                                   interpret=interpret)
     else:
-        y = _spmv_bsr_call(A.block_cols, x_table, A.blocks, br=A.br,
-                           interpret=interpret)
+        chunks = _group_chunks(A.blocks.shape[0], A.block_cols.shape[1],
+                               interpret)
+        if len(chunks) == 1:
+            y = _spmv_bsr_call(A.block_cols, x_table, A.blocks, br=A.br,
+                               interpret=interpret)
+        else:
+            y = jnp.concatenate(
+                [_spmv_bsr_call(A.block_cols[g0:g1], x_table,
+                                A.blocks[g0:g1], br=A.br,
+                                interpret=interpret)
+                 for g0, g1 in chunks])
     return y.reshape(-1)[: A.nrows]

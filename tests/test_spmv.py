@@ -36,3 +36,31 @@ def test_ell_padding_alignment():
     x = np.random.default_rng(4).random(100)
     np.testing.assert_allclose(np.asarray(spmv_ell(ell, jnp.asarray(x))),
                                A.matvec(x), rtol=1e-12)
+
+
+def test_df64_smem_chunking_matches_unchunked(monkeypatch):
+    """Layouts whose scalar-prefetched block-column ids exceed the SMEM
+    budget split into multiple pallas_calls over group ranges (hit at
+    n=262k with AMD-permuted operators: G*S ~ 3.4 MB of int32 vs 1 MiB
+    SMEM — the AOT compiler rejects the single-call program). Forcing a
+    tiny budget must produce >1 chunk and the same result."""
+    import lsbench_tpu.ops.spmv_pallas as sp
+    from lsbench_tpu.matrix.bsr import BsrDf64, BsrMatrix
+    from lsbench_tpu.matrix.generate import random_spd
+
+    A = random_spd(400, nnz_per_row=9, seed=3)
+    df = BsrDf64.from_csr(A)
+    bsr = BsrMatrix.from_csr(A)
+    x = np.random.default_rng(0).random(A.nrows)
+    y_ref = A.matvec(x)
+    y1 = np.asarray(sp.spmv_bsr_df64(df, jnp.asarray(x)))
+
+    monkeypatch.setattr(sp, "_SMEM_IDX_BUDGET_BYTES", 64)
+    assert len(sp._group_chunks(df.blocks_hi.shape[0],
+                                df.block_cols.shape[1])) > 1
+    y2 = np.asarray(sp.spmv_bsr_df64(df, jnp.asarray(x)))
+    np.testing.assert_allclose(y2, y1, rtol=0, atol=0)  # same math, exact
+    assert np.linalg.norm(y2 - y_ref) / np.linalg.norm(y_ref) < 1e-12
+
+    y3 = np.asarray(sp.spmv_bsr(bsr, jnp.asarray(x, jnp.float32)))
+    assert (np.linalg.norm(y3 - y_ref) / np.linalg.norm(y_ref)) < 1e-5
