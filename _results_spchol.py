@@ -77,8 +77,8 @@ def main():
     # Beyond-reference: banded + irregular.
     recs.append(run_case("poisson_512 (n=262k banded)", poisson_2d(512),
                          trials=3))
-    recs.append(run_case("sem_128_p2 (n=263k irregular SEM)", sem_2d(128, 2),
-                         trials=3))
+    recs.append(run_case("sem_256_p2 (n=263k irregular SEM, 16 nnz/row)",
+                         sem_2d(256, 2), trials=3))
 
     # The reference-default route: --solver cholmod above the dense guard
     # must auto-delegate here (direct.py) — record that the route works

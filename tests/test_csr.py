@@ -60,3 +60,20 @@ def test_random_spd_is_spd():
     d = A.to_dense()
     np.testing.assert_allclose(d, d.T, atol=0)
     assert np.all(np.linalg.eigvalsh(d) > 0)
+
+
+def test_sem_2d_generator_structure():
+    """SEM-type generator (matrix/generate.py::sem_2d): SPD, symmetric,
+    with the assembled-clique row-width skew of the reference workload
+    (interior 9 / edge 15 / corner 25 at p=2 — tj7a/xn3b's pattern
+    family, SURVEY §2.1)."""
+    from lsbench_tpu.matrix.generate import sem_2d
+    A = sem_2d(8, 2)
+    assert A.nrows == 17 * 17
+    widths = np.diff(A.offs)
+    assert widths.min() == 9 and widths.max() == 25
+    assert sorted(set(widths.tolist())) == [9, 15, 25]
+    d = A.to_dense()
+    np.testing.assert_allclose(d, d.T, atol=0)
+    w = np.linalg.eigvalsh(d)
+    assert w.min() > 0  # SPD (clique Laplacians + shift)
