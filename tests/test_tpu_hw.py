@@ -428,3 +428,27 @@ def test_device_materialized_layouts_hw():
     host_blocks, _ = _bsr_host_layout(A)
     np.testing.assert_array_equal(np.asarray(op.blocks_hi),
                                   host_blocks.astype(np.float32))
+
+
+def test_sparse_cholesky_delegation_hw():
+    """The general sparse direct path (VERDICT r3 next 2) on the chip:
+    `cholesky` above the dense guard delegates to the level-scheduled
+    sparse path (host AMD+etree+native factor, device segmented sweeps,
+    f32 sweeps + df64 refinement) and reaches the reference direct
+    tolerance. Full-scale numbers (n=262k banded + n=263k irregular SEM)
+    are in _results_spchol.jsonl / RESULTS.md §4."""
+    _require_tpu()
+    from lsbench_tpu.matrix.generate import poisson_2d
+    from lsbench_tpu.solvers.base import get_solver
+    from lsbench_tpu.solvers.sparse_cholesky import SparseCholeskySolver
+
+    A = poisson_2d(48)   # n=2304 — small, but through the same code path
+    b = np.arange(A.nrows, dtype=np.float64)
+    cls, p = get_solver("cholmod")
+    s = cls(A, max_dense_n=1000, **p)
+    assert isinstance(s._delegate, SparseCholeskySolver)
+    res = s.solve(b)
+    assert res.extra["delegated"] == "sparse_cholesky"
+    tr = (np.linalg.norm(b - A.matvec(np.asarray(res.x, np.float64)))
+          / np.linalg.norm(b))
+    assert tr <= 1e-10, tr
