@@ -100,6 +100,15 @@ def main():
                                      interp_omega=0.5, pmax=8),
           b)
 
+    # Round 4: the ginkgo role over a mesh with fp64 semantics — f32
+    # BiCGSTAB inner + df64 refinement (VERDICT r3 next 3's hardware row).
+    from lsbench_tpu.parallel.dist_cg_ir import DistributedBicgstabIr
+
+    bench("dist_bicgstab_ir_1dev",
+          lambda: DistributedBicgstabIr(A, mesh, rtol=1e-10,
+                                        ordering="rcm"),
+          b, ordering="rcm")
+
     # Shared-subspace vs simultaneous block CG, k=8 (VERDICT r2 item 4).
     from lsbench_tpu.solvers.block_cg import BlockCgSolver
 

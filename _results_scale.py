@@ -116,6 +116,42 @@ def main():
     print(json.dumps({"amgcg_ir_poisson_512": out["amgcg_ir_poisson_512"]}),
           flush=True)
 
+    # ---- 2b. AMG-CG-IR on the n=263k IRREGULAR SEM matrix (element
+    # cliques, 9/15/25 row-width skew — where class skew and band width
+    # actually bite; VERDICT r3 missing 6) ----
+    from lsbench_tpu.matrix.generate import sem_2d
+    A_sem = sem_2d(256, 2)
+    b_sem = np.arange(A_sem.nrows, dtype=np.float64)
+    cls, ps = get_solver("cg_ir")
+    ps.update(rtol=1e-10, precond="amg",
+              precond_params=dict(coarsening="classical", theta=0.25))
+    t0 = time.perf_counter()
+    s = cls(A_sem, **ps)
+    setup_s = time.perf_counter() - t0
+    fn, args = s.solve_fn_args()
+    bj = jnp.asarray(b_sem)
+    jitted = jax.jit(fn)
+    t0 = time.perf_counter()
+    np.asarray(jitted(args, bj))
+    first_s = time.perf_counter() - t0
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(jitted(args, bj))
+        ts.append(time.perf_counter() - t0)
+    res = s.solve(b_sem)
+    true_rel = (np.linalg.norm(b_sem - A_sem.matvec(
+        np.asarray(res.x, np.float64))) / np.linalg.norm(b_sem))
+    out["amgcg_ir_sem_256"] = {
+        "n": A_sem.nrows, "nnz": A_sem.nnz,
+        "solve_s": float(np.median(ts)), "iters": res.iters,
+        "relres": res.relres, "true_relres": float(true_rel),
+        "converged": bool(res.converged),
+        "setup_s": setup_s, "first_call_s": first_s,
+    }
+    print(json.dumps({"amgcg_ir_sem_256": out["amgcg_ir_sem_256"]}),
+          flush=True)
+
     # ---- 3. Band Cholesky at n=50k: device MXU numeric factor ----
     cls, ps = get_solver("cholesky_band")
     A2 = poisson_2d(224)                     # n=50,176
