@@ -112,6 +112,8 @@ def main():
         "solve_s": float(np.median(ts)), "iters": res.iters,
         "relres": res.relres, "converged": bool(res.converged),
         "setup_s": setup_s, "first_call_s": first_s,
+        "setup_breakdown": {k: round(v, 2) if isinstance(v, float) else v
+                            for k, v in s.setup_breakdown.items()},
     }
     print(json.dumps({"amgcg_ir_poisson_512": out["amgcg_ir_poisson_512"]}),
           flush=True)
@@ -148,6 +150,8 @@ def main():
         "relres": res.relres, "true_relres": float(true_rel),
         "converged": bool(res.converged),
         "setup_s": setup_s, "first_call_s": first_s,
+        "setup_breakdown": {k: round(v, 2) if isinstance(v, float) else v
+                            for k, v in s.setup_breakdown.items()},
     }
     print(json.dumps({"amgcg_ir_sem_256": out["amgcg_ir_sem_256"]}),
           flush=True)

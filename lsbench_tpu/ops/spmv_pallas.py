@@ -91,19 +91,29 @@ def _spmv_bsr_onehot_call(block_cols, x_table, blocks, interpret=False):
         )(x_table, block_cols.reshape(-1, 1), blocks)
 
 
-@functools.partial(jax.jit, static_argnames=("br", "interpret"))
-def _spmv_bsr_call(block_cols, x_table, blocks, br=BR, interpret=False):
-    n_groups, sb, _ = blocks.shape
+@functools.partial(jax.jit, static_argnames=("br", "interpret", "g0", "g1"))
+def _spmv_bsr_call(block_cols, x_table, blocks, br=BR, interpret=False,
+                   g0=0, g1=None):
+    """(g0, g1): STATIC group range this call computes — used by the SMEM
+    chunking path (`_group_chunks`). The FULL blocks array is passed and
+    the grid's block index map adds the static offset, so no ~stream-sized
+    slice copy enters the program (a per-call dynamic slice of the 671 MB
+    n=262k operator measured 3.2 ms/SpMV vs 1.1 ms unchunked).
+    `block_cols` arrives already sliced to the chunk (KBs, cheap)."""
+    n_groups_full, sb, _ = blocks.shape
+    if g1 is None:
+        g1 = n_groups_full
+    off = g0 // GPS
     slots = sb // br
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_groups // GPS,),
+        grid=((g1 - g0) // GPS,),
         in_specs=[
             # x table: whole vector resident in VMEM, same block every step.
             pl.BlockSpec((x_table.shape[0], BC), lambda g, idx: (0, 0),
                          memory_space=pltpu.VMEM),
             # this step's GPS groups of blocks (auto double-buffered)
-            pl.BlockSpec((GPS, sb, BC), lambda g, idx: (g, 0, 0),
+            pl.BlockSpec((GPS, sb, BC), lambda g, idx: (g + off, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((GPS, br), lambda g, idx: (g, 0),
@@ -117,7 +127,7 @@ def _spmv_bsr_call(block_cols, x_table, blocks, br=BR, interpret=False):
         return pl.pallas_call(
             functools.partial(_kernel, slots=slots, br=br),
             grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((n_groups, br), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((g1 - g0, br), jnp.float32),
             interpret=interpret,
         )(block_cols.reshape(-1), x_table, blocks)
 
@@ -414,21 +424,29 @@ def _kernel_df64(idx_ref, xh_ref, xl_ref, bh_ref, bl_ref, oh_ref, ol_ref,
         ol_ref[gl] = ol
 
 
-@functools.partial(jax.jit, static_argnames=("br", "interpret"))
-def _spmv_bsr_df64_call(block_cols, xh, xl, bh, bl, br=BR, interpret=False):
-    n_groups, sb, _ = bh.shape
+@functools.partial(jax.jit,
+                   static_argnames=("br", "interpret", "g0", "g1"))
+def _spmv_bsr_df64_call(block_cols, xh, xl, bh, bl, br=BR, interpret=False,
+                        g0=0, g1=None):
+    """(g0, g1): static group range for SMEM chunking — full block arrays
+    with an offset index map, never a stream-sized slice (see
+    _spmv_bsr_call)."""
+    n_groups_full, sb, _ = bh.shape
+    if g1 is None:
+        g1 = n_groups_full
+    off = g0 // GPS
     slots = sb // br
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_groups // GPS,),
+        grid=((g1 - g0) // GPS,),
         in_specs=[
             pl.BlockSpec((xh.shape[0], BC), lambda g, idx: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((xl.shape[0], BC), lambda g, idx: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GPS, sb, BC), lambda g, idx: (g, 0, 0),
+            pl.BlockSpec((GPS, sb, BC), lambda g, idx: (g + off, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GPS, sb, BC), lambda g, idx: (g, 0, 0),
+            pl.BlockSpec((GPS, sb, BC), lambda g, idx: (g + off, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(pl.BlockSpec((GPS, br), lambda g, idx: (g, 0),
@@ -441,18 +459,20 @@ def _spmv_bsr_df64_call(block_cols, xh, xl, bh, bl, br=BR, interpret=False):
             functools.partial(_kernel_df64, slots=slots, br=br,
                               protect=interpret),
             grid_spec=grid_spec,
-            out_shape=(jax.ShapeDtypeStruct((n_groups, br), jnp.float32),
-                       jax.ShapeDtypeStruct((n_groups, br), jnp.float32)),
+            out_shape=(jax.ShapeDtypeStruct((g1 - g0, br), jnp.float32),
+                       jax.ShapeDtypeStruct((g1 - g0, br), jnp.float32)),
             interpret=interpret,
         )(block_cols.reshape(-1), xh, xl, bh, bl)
 
 
-_SMEM_IDX_BUDGET_BYTES = 1 << 19
-# Half of v5e's 1 MiB SMEM reserved for the scalar-prefetched block-column
-# ids; larger layouts are chunked into multiple pallas_calls over group
-# ranges (the AOT compiler otherwise rejects the program: "Allocation
-# would exceed memory (space=smem)" — hit at n=262k with AMD-permuted
-# operators, whose scattered columns inflate G·S to ~3.4 MB of int32).
+_SMEM_IDX_BUDGET_BYTES = 768 << 10
+# v5e SMEM is 1 MiB; scalar-prefetched block-column ids beyond this budget
+# are chunked into multiple pallas_calls over group ranges (the AOT
+# compiler otherwise rejects the program: "Allocation would exceed memory
+# (space=smem)" — hit at n=262k with AMD-permuted operators, whose
+# scattered columns inflate G·S to ~3.4 MB of int32). 768 KiB is
+# empirically safe: the n=262k RCM uniform layout's 655 KiB prefetch ran
+# unchunked at full speed in round 3.
 
 
 def _group_chunks(n_groups: int, S: int, interpret: bool = False):
@@ -469,9 +489,11 @@ def _df64_call_chunked(block_cols, xh, xl, bh, bl, br, interpret):
     if len(chunks) == 1:
         return _spmv_bsr_df64_call(block_cols, xh, xl, bh, bl, br=br,
                                    interpret=interpret)
-    outs = [_spmv_bsr_df64_call(block_cols[g0:g1], xh, xl,
-                                bh[g0:g1], bl[g0:g1], br=br,
-                                interpret=interpret)
+    # Slice ONLY the (KB-sized) prefetch ids; the block arrays pass whole
+    # with a static grid offset — a per-call dynamic slice of the block
+    # stream would copy it (measured 3x per-SpMV cost at n=262k).
+    outs = [_spmv_bsr_df64_call(block_cols[g0:g1], xh, xl, bh, bl, br=br,
+                                interpret=interpret, g0=g0, g1=g1)
             for g0, g1 in chunks]
     return (jnp.concatenate([o[0] for o in outs]),
             jnp.concatenate([o[1] for o in outs]))
@@ -612,8 +634,7 @@ def spmv_bsr(A: BsrMatrix, x: jax.Array, interpret: bool | None = None,
                                interpret=interpret)
         else:
             y = jnp.concatenate(
-                [_spmv_bsr_call(A.block_cols[g0:g1], x_table,
-                                A.blocks[g0:g1], br=A.br,
-                                interpret=interpret)
+                [_spmv_bsr_call(A.block_cols[g0:g1], x_table, A.blocks,
+                                br=A.br, interpret=interpret, g0=g0, g1=g1)
                  for g0, g1 in chunks])
     return y.reshape(-1)[: A.nrows]

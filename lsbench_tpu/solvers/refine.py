@@ -100,8 +100,10 @@ class KrylovIrSolver(Solver):
             mv64 = spmv_ell
             mv64_split = None
         self.setup_breakdown["layout_s"] = _time.perf_counter() - _t0
+        _t0 = _time.perf_counter()
         self._pstate, papply = get_preconditioner(precond)(
             Ap, jnp.float32, **(precond_params or {}))
+        self.setup_breakdown["precond_s"] = _time.perf_counter() - _t0
 
         rtol_c, max_refine_c = self.rtol, self.max_refine
         inner = self._inner_loop

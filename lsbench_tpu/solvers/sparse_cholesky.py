@@ -257,14 +257,27 @@ def _pack_levels(n, row_offs, row_cols, row_vals, diag, level, dtype):
             cols[dest] = row_cols[src]
             vals[dest] = row_vals[src]
             slot[dest] = np.repeat(sl_loc, lens_seg)
-        segments.append((jnp.asarray(rows),
-                         jnp.asarray(slot.reshape(L, T)),
-                         jnp.asarray(cols.reshape(L, T)),
-                         jnp.asarray(vals.reshape(L, T), dtype=dtype),
-                         jnp.asarray(dinv, dtype=dtype)))
-        seg_R.append(R)
+        segments.append((rows, slot, cols, vals, dinv))
+        seg_R.append((L, T, R))
         total_padded += L * T
-    return segments, seg_R, total_padded
+
+    # Ship FIVE flat device arrays (one per field), not 5 per segment:
+    # each eager host→device transfer costs a full round trip through the
+    # remote-TPU tunnel (~30 ms latency), and thousands of levels pack
+    # into up to ~100 segments — per-segment uploads measured 34-270 s of
+    # pure latency at n=262k. The per-segment views are re-sliced with
+    # STATIC offsets inside the jitted sweep (free under XLA).
+    flat = {
+        "rows": jnp.asarray(np.concatenate(
+            [s[0].ravel() for s in segments])),
+        "slot": jnp.asarray(np.concatenate([s[1] for s in segments])),
+        "cols": jnp.asarray(np.concatenate([s[2] for s in segments])),
+        "vals": jnp.asarray(np.concatenate([s[3] for s in segments]),
+                            dtype=dtype),
+        "dinv": jnp.asarray(np.concatenate(
+            [s[4].ravel() for s in segments]), dtype=dtype),
+    }
+    return flat, seg_R, total_padded
 
 
 def pack_tri(cp, ci, cx, n, dtype):
@@ -309,17 +322,29 @@ def pack_tri(cp, ci, cx, n, dtype):
     state = {"f": packed_f, "b": packed_b}
     meta = {"nlev_f": int(lev_f.max()) + 1, "nlev_b": int(lev_b.max()) + 1,
             "rs_f": rs_f, "rs_b": rs_b,
-            "n_segments": len(packed_f) + len(packed_b),
+            "n_segments": len(rs_f) + len(rs_b),
             "waste": (pad_f + pad_b) / max(1, 2 * (r.size + n))}
     return state, meta
 
 
-def _sweep(packed_segs, seg_R, n, b):
+def _sweep(flat, seg_meta, n, b):
     """One level-scheduled triangular sweep over the packed SEGMENTS (run
-    in order — each is a scan with its own pad widths; `seg_R` are the
-    STATIC per-segment row pads); b is length n+1 (pad slot)."""
+    in order). `flat` holds the five concatenated field arrays; `seg_meta`
+    the STATIC per-segment (L, T, R) shapes — segment views are static
+    slices of the flat arrays (free inside jit). b is length n+1 (pad
+    slot)."""
     x = jnp.zeros(n + 1, dtype=b.dtype)
-    for (rw_s, sl_s, cl_s, vl_s, di_s), R in zip(packed_segs, seg_R):
+    o_lr = 0   # offset into rows/dinv (L*R elements per segment)
+    o_lt = 0   # offset into slot/cols/vals (L*T elements per segment)
+    for (L, T, R) in seg_meta:
+        rw_s = flat["rows"][o_lr:o_lr + L * R].reshape(L, R)
+        di_s = flat["dinv"][o_lr:o_lr + L * R].reshape(L, R)
+        sl_s = flat["slot"][o_lt:o_lt + L * T].reshape(L, T)
+        cl_s = flat["cols"][o_lt:o_lt + L * T].reshape(L, T)
+        vl_s = flat["vals"][o_lt:o_lt + L * T].reshape(L, T)
+        o_lr += L * R
+        o_lt += L * T
+
         def step(x, lv, R=R):
             rw, sl, cl, vl, di = lv
             contrib = vl * x[cl]
@@ -337,7 +362,7 @@ def apply_tri(state, b, *, n, rs_f, rs_b):
     flows through as a pytree ARGUMENT — closing over it would bake the
     O(fill) arrays into the executable as constants, which measured
     12.9 GB at n=262k and breaks the remote-compile tunnel)."""
-    dtype = state["f"][0][3].dtype
+    dtype = state["f"]["vals"].dtype
     b = b.astype(dtype)
     bp = jnp.concatenate([b, jnp.zeros(1, dtype)])
     y = _sweep(state["f"], rs_f, n, bp)
