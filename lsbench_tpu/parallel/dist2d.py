@@ -118,16 +118,6 @@ def spmv_2d_local(vals_l, cols_l, x_l):
                                 tiled=True)           # (csize,)
 
 
-def spmm_2d_local(vals_l, cols_l, X_l):
-    """Multi-RHS 2-D local SpMM: X_l (csize, k) → (csize_out, k).
-    The k columns ride ONE all_gather and ONE psum_scatter — same
-    collective count as a single matvec (the --nrhs composition)."""
-    Xg = jax.lax.all_gather(X_l, ROWS, tiled=True)        # (n_gath, k)
-    partial_y = jnp.einsum("rs,rsk->rk", vals_l, Xg[cols_l])
-    return jax.lax.psum_scatter(partial_y, COLS, scatter_dimension=0,
-                                tiled=True)               # (csize_out, k)
-
-
 @dataclass
 class Spmv2dBsrPlan:
     """Per-device BSR layouts of the 2-D partition's local operators.
@@ -512,8 +502,9 @@ class DistributedBlockCg2d(Solver):
     """Multi-RHS (block) CG on the 2-D partition: the --nrhs k × --mesh RxC
     composition. Same precision structure as the 1-D dist_block_cg (f32
     simultaneous-column inner PCG + double-float f64 per-column residual
-    refinement); the k columns ride ONE all_gather + ONE psum_scatter per
-    operator application (spmm_2d_local / vmapped BSR on TPU)."""
+    refinement); the k columns ride ONE BATCHED all_gather + psum_scatter
+    per operator application (the local matvec vmapped over columns —
+    collective batching rules merge the k transfers)."""
 
     name = "dist_block_cg2d"
 
