@@ -5,12 +5,21 @@ The reference has no working distributed AMG — Hypre is compiled MPI-off
 (paralmond.cpp:39). This is the TPU-native design (SURVEY.md §7.6):
 
 - setup on host builds the same hierarchy as the single-chip path
-  (solvers/amg.py `build_matrix_hierarchy` — SA or classical coarsening);
+  (solvers/amg.py `build_matrix_hierarchy` — SA or classical coarsening),
+  then `_align_coarse_levels` anchors every coarse numbering to fine
+  positions so ALL level operators stay banded AND orientation-aligned
+  with the block-row partition;
 - every level's operators (A, P, R) are stored as row-sharded padded-row
   (ELL) blocks over a 1-D mesh; vectors are row-sharded per level;
-- one `all_gather` per operator application moves the source vector; the
+- EVERY operator application — smoother matvec, restriction R,
+  prolongation P — moves O(halo) rows by `ppermute` ring exchange
+  (dist_spmv.py `build_halo_plan` / `build_rect_halo_plan`), not the
+  O(n) `all_gather` the docstringed v1 design used; a level falls back
+  to all_gather only if its reach exceeds one neighbor block. The
   smoother (Jacobi/Chebyshev) needs no dot products, so a whole V-cycle
-  costs only its matvec gathers — no scalar round-trips;
+  costs only these O(halo) exchanges plus one coarse-grid gather — no
+  scalar round-trips. `parallel/comm_model.amg_comm_volume` accounts
+  the exact schedule, pinned by tests/test_comm_model.py trace counts;
 - the coarsest system is solved redundantly on every device from a
   replicated dense Cholesky factor (coarse grids are tiny; redundant
   compute beats a gather/scatter round-trip — standard practice);
@@ -45,6 +54,57 @@ def _round_up(x: int, m: int) -> int:
 
 def _pad_size(n: int, n_dev: int, align: int = 8) -> int:
     return _round_up(max(1, -(-n // n_dev)), align) * n_dev
+
+
+def _align_coarse_levels(mats, Acoarse):
+    """Renumber every coarse level so coarse ids follow the mean fine
+    position of their interpolatory sets (stable argsort over P's column
+    supports).
+
+    The RCM renumbering inside build_matrix_hierarchy (reorder_coarse)
+    keeps each coarse OPERATOR banded, but its orientation relative to
+    the finer level is arbitrary — RCM can start from either peripheral
+    end, and a reversed coarse ordering makes the rectangular P/R halo
+    reach ~n, forcing the all_gather fallback. Anchoring the order to
+    fine positions keeps banding AND alignment, so P and R ride the
+    O(halo) ppermute ring like the level matvecs. Pure renumbering: the
+    math is permutation-invariant (rho unchanged; dinv permuted)."""
+    mats = [dict(m) for m in mats]
+    for l in range(len(mats)):
+        P = mats[l]["P"]
+        pr, pc, pv = P.to_coo()
+        nc = P.ncols
+        pos_sum = np.zeros(nc)
+        cnt = np.zeros(nc)
+        np.add.at(pos_sum, pc, pr.astype(np.float64))
+        np.add.at(cnt, pc, 1.0)
+        order = np.argsort(pos_sum / np.maximum(cnt, 1.0), kind="stable")
+        if np.array_equal(order, np.arange(nc)):
+            continue
+        rank = np.empty(nc, dtype=np.int64)
+        rank[order] = np.arange(nc)
+        P2 = CsrMatrix.from_coo(pr, rank[pc], pv, nrows=P.nrows, ncols=nc,
+                                sum_duplicates=False)
+        mats[l]["P"] = P2
+        mats[l]["R"] = P2.transpose()
+        if l + 1 < len(mats):
+            nxt = mats[l + 1]
+            nxt["A"] = nxt["A"].permuted(order)
+            nxt["dinv"] = nxt["dinv"][order]
+            if "dinv_l1" in nxt:
+                nxt["dinv_l1"] = nxt["dinv_l1"][order]
+            # The next level's P lives in level-(l+1) ROW coordinates —
+            # renumber its rows too (its columns are handled when the
+            # loop reaches level l+1).
+            nr, ncc, nv = nxt["P"].to_coo()
+            nxt["P"] = CsrMatrix.from_coo(rank[nr], ncc, nv,
+                                          nrows=nxt["P"].nrows,
+                                          ncols=nxt["P"].ncols,
+                                          sum_duplicates=False)
+            nxt["R"] = nxt["P"].transpose()
+        else:
+            Acoarse = Acoarse.permuted(order)
+    return mats, Acoarse
 
 
 def _ell_padded(M: CsrMatrix, n_pad: int, dtype):
@@ -101,6 +161,8 @@ class _DistAmgBase(Solver):
         self.opts = opts
         mats, Acoarse = build_matrix_hierarchy(
             Ap, opts, breakdown=self.setup_breakdown)
+        if comm != "all_gather":
+            mats, Acoarse = _align_coarse_levels(mats, Acoarse)
         self.n_levels = len(mats) + 1
         self.comm = comm
 
@@ -134,7 +196,9 @@ class _DistAmgBase(Solver):
 
         levels_dev = []
         levels_spec = []
-        self._halos = []  # per level: halo width (ppermute ring) or None
+        self._halos = []    # per level: A halo width (ppermute ring) or None
+        self._p_halos = []  # per level: P (prolongation) halo or None
+        self._r_halos = []  # per level: R (restriction) halo or None
         for l, m in enumerate(mats):
             npf, npc = pads[l], pads[l + 1]
             halo = None
@@ -169,8 +233,28 @@ class _DistAmgBase(Solver):
                     # ship (n_dev, 1) stubs instead of n×k live arrays.
                     av = jnp.zeros((n_dev, 1), dtype=self.dtype)
                     ac = jnp.zeros((n_dev, 1), dtype=jnp.int32)
-            pv, pc = _ell_padded(m["P"], npf, self.dtype)
-            rv, rc = _ell_padded(m["R"], npc, self.dtype)
+            # Transfer operators: rectangular halo plans (fine/coarse
+            # block sizes differ) — R gathers from the fine vector, P
+            # from the coarse one; all_gather only when the reach exceeds
+            # a neighbor block (then the level keeps global column ids).
+            p_halo = r_halo = None
+            if comm in ("auto", "halo"):
+                from lsbench_tpu.parallel.dist_spmv import \
+                    build_rect_halo_plan
+                pp = build_rect_halo_plan(m["P"], n_dev, npf // n_dev,
+                                          npc // n_dev, self.dtype)
+                if not pp.needs_all_gather:
+                    p_halo, pv, pc = pp.halo, pp.vals, pp.cols
+                rp = build_rect_halo_plan(m["R"], n_dev, npc // n_dev,
+                                          npf // n_dev, self.dtype)
+                if not rp.needs_all_gather:
+                    r_halo, rv, rc = rp.halo, rp.vals, rp.cols
+            if p_halo is None:
+                pv, pc = _ell_padded(m["P"], npf, self.dtype)
+            if r_halo is None:
+                rv, rc = _ell_padded(m["R"], npc, self.dtype)
+            self._p_halos.append(p_halo)
+            self._r_halos.append(r_halo)
             dinv = np.zeros(npf)
             dinv[: sizes[l]] = m["dinv"]
             lvl.update(av=shard2(av), ac=shard2(ac),
@@ -209,6 +293,7 @@ class _DistAmgBase(Solver):
         nloc_L = self.pads[-1] // self.n_dev
         nlev = self.n_levels - 1
         halos = self._halos
+        p_halos, r_halos = self._p_halos, self._r_halos
         import jax.scipy.linalg as jsl
 
         from lsbench_tpu.parallel.dist_spmv import (
@@ -236,6 +321,16 @@ class _DistAmgBase(Solver):
             if halos[lvl] is not None:
                 return halo_spmv_local(halos[lvl], L["av"], L["ac"], x_l)
             return matvec(L["av"], L["ac"], x_l)
+
+        def restrict(lvl, L, r_l):
+            if r_halos[lvl] is not None:
+                return halo_spmv_local(r_halos[lvl], L["rv"], L["rc"], r_l)
+            return matvec(L["rv"], L["rc"], r_l)
+
+        def prolong(lvl, L, ec_l):
+            if p_halos[lvl] is not None:
+                return halo_spmv_local(p_halos[lvl], L["pv"], L["pc"], ec_l)
+            return matvec(L["pv"], L["pc"], ec_l)
 
         def jacobi(lvl, L, rho, b_l, x_l):
             om = jnp.asarray(opts.jacobi_scale / rho, b_l.dtype)
@@ -276,10 +371,10 @@ class _DistAmgBase(Solver):
             for _ in range(opts.pre_sweeps):
                 x_l = smooth(lvl, L, rhos[lvl], b_l, x_l)
             r_l = b_l - a_matvec(lvl, L, x_l)
-            rc_l = matvec(L["rv"], L["rc"], r_l)
+            rc_l = restrict(lvl, L, r_l)
             ec_l = cycle(levels, coarse_L, lvl + 1, rc_l,
                          jnp.zeros_like(rc_l))
-            x_l = x_l + matvec(L["pv"], L["pc"], ec_l)
+            x_l = x_l + prolong(lvl, L, ec_l)
             for _ in range(opts.post_sweeps):
                 x_l = smooth(lvl, L, rhos[lvl], b_l, x_l)
             return x_l

@@ -85,6 +85,57 @@ def build_halo_plan(A: CsrMatrix, n_devices: int, dtype,
 
 
 @dataclass
+class RectHaloPlan:
+    """Halo plan for a RECTANGULAR row-partitioned operator (AMG transfer
+    operators P and R — parallel/dist_amg.py).
+
+    Device d owns rows [d·nloc_rows, (d+1)·nloc_rows) of M and holds the
+    local block of the SOURCE vector [d·nloc_cols, (d+1)·nloc_cols); the
+    halo exchange moves the H boundary rows of the source vector exactly
+    as the square-operator plan does (`halo_spmv_local` applies both:
+    the math only needs vals/cols rows = nloc_rows and x = nloc_cols).
+    `needs_all_gather` when the reach exceeds one neighbor block — the
+    caller keeps the all_gather path for that level.
+    """
+    vals: jax.Array        # (nrow_pad, k) row-sharded
+    cols: jax.Array        # (nrow_pad, k) int32 — extended-local source ids
+    halo: int
+    nloc_rows: int
+    nloc_cols: int
+    needs_all_gather: bool
+
+
+def build_rect_halo_plan(M: CsrMatrix, n_devices: int, nloc_rows: int,
+                         nloc_cols: int, dtype) -> RectHaloPlan:
+    """Rectangular generalization of `build_halo_plan`: the row and source
+    partitions have independent block sizes (fine/coarse level pads)."""
+    nrow_pad = nloc_rows * n_devices
+    r, c, v = M.to_coo()
+    dev = r // nloc_rows
+    off = c - dev * nloc_cols
+    reach_left = int(np.maximum(0, -off).max(initial=0))
+    reach_right = int(np.maximum(0, off - (nloc_cols - 1)).max(initial=0))
+    H = _round_up(max(max(reach_left, reach_right), 1), 8)
+    needs_all_gather = H > nloc_cols
+
+    counts = np.diff(M.offs)
+    k = max(int(counts.max(initial=0)), 1)
+    vals = np.zeros((nrow_pad, k), dtype=np.float64)
+    # Padding slots: val 0 with a safe in-range source id.
+    cols = np.full((nrow_pad, k), 0 if needs_all_gather else H,
+                   dtype=np.int32)
+    rows_idx = M.row_indices()
+    slot = np.arange(M.nnz) - M.offs[rows_idx]
+    vals[rows_idx, slot] = v
+    cols[rows_idx, slot] = (c if needs_all_gather
+                            else off + H).astype(np.int32)
+    return RectHaloPlan(
+        vals=jnp.asarray(vals, dtype=dtype), cols=jnp.asarray(cols),
+        halo=H, nloc_rows=nloc_rows, nloc_cols=nloc_cols,
+        needs_all_gather=needs_all_gather)
+
+
+@dataclass
 class HaloBsrPlan:
     """Host-built plan for the Pallas BSR local SpMV inside shard_map.
 

