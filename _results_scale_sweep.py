@@ -106,9 +106,90 @@ def model_tables():
     return rows, n80
 
 
+def amg_tables():
+    """AMG-CG-IR scaling story (VERDICT r4 missing 1): the flagship
+    production path's V-cycle collective schedule, halo vs all_gather,
+    accounted exactly (amg_comm_volume, trace-pinned) and timed on the
+    8-device sim mesh; plus the ICI-model prediction for one AMG-CG
+    iteration at the measured n=262k per-iteration time."""
+    import time
+
+    from lsbench_tpu.matrix.generate import poisson_2d
+    from lsbench_tpu.parallel.comm_model import (amg_comm_volume,
+                                                 predict_efficiency)
+    from lsbench_tpu.parallel.dist_amg import DistributedAmg, \
+        DistributedAmgCgIr
+    from lsbench_tpu.parallel.mesh import make_row_mesh
+
+    A = poisson_2d(512)          # n=262,144 — the §4 production case
+    b = np.arange(A.nrows, dtype=np.float64)
+    mesh = make_row_mesh(8)
+    rows = []
+    sim = []
+    for comm in ("auto", "all_gather"):
+        s = DistributedAmg(A, mesh, cycles=2, dtype=jnp.float32, comm=comm)
+        cv = amg_comm_volume(s)
+        rows.append({
+            "comm": comm, "n": A.nrows, "devices": 8,
+            "levels": [{"level": lv.level, "a": lv.a_strategy,
+                        "a_halo": lv.a_halo, "r": lv.r_strategy,
+                        "p": lv.p_strategy, "bytes": lv.bytes}
+                       for lv in cv.levels],
+            "ppermutes_per_cycle": cv.ppermutes_per_cycle,
+            "all_gathers_per_cycle": cv.all_gathers_per_cycle,
+            "bytes_per_cycle": cv.bytes_per_cycle,
+            "bytes_per_iter": cv.bytes_per_iter_payload})
+        # Sim-mesh wall time per 2-cycle application (schedule cost on a
+        # shared-memory host; validates the cheaper schedule, not ICI).
+        fn = s.solve_fn()
+        jax.block_until_ready(fn(b))
+        reps = 5
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(b)
+        jax.block_until_ready(out)
+        per_cycle_ms = (time.perf_counter() - t0) / reps / 2 * 1e3
+        sim.append({"comm": comm, "per_cycle_ms": round(per_cycle_ms, 2)})
+
+    # ICI prediction for one AMG-CG-IR iteration at n=262k: measured
+    # single-chip 0.80 s / 57 iters = 14.0 ms/iter (RESULTS §4). The
+    # halo CV is device-count-dependent only through psum hops, so price
+    # it at 2/4/8 devices.
+    t1_amg = 0.80 / 57
+    ici = []
+    for d in (2, 4, 8):
+        s = DistributedAmg(A, make_row_mesh(d), cycles=2,
+                           dtype=jnp.float32, comm="auto")
+        cv = amg_comm_volume(s).as_comm_volume()
+        eff, t_d = predict_efficiency(t1_amg, cv)
+        ici.append({"devices": d, "t1_ms": round(t1_amg * 1e3, 2),
+                    "t_d_ms": round(t_d * 1e3, 3),
+                    "pred_efficiency": round(eff, 3),
+                    "bytes_per_iter": cv.bytes_per_spmv,
+                    "ppermutes_per_iter": cv.ppermutes_per_spmv,
+                    "all_gather_hops": cv.gather_hops_per_spmv})
+    return rows, sim, ici
+
+
+def sensitivity_table():
+    """Crossover-n sensitivity to the two assumed ICI constants
+    (VERDICT r4 weak 3): link bw ±50%, hop latency ×0.5/×2."""
+    from lsbench_tpu.parallel.comm_model import efficiency_crossover_n
+    rows = []
+    for bw in (22.5, 45.0, 90.0):
+        for hop in (0.5e-6, 1e-6, 2e-6):
+            rows.append({"link_gbps": bw, "hop_latency_us": hop * 1e6,
+                         **{f"n80_d{d}": efficiency_crossover_n(
+                             5.0, GNNZ_262K, d, link_gbps=bw,
+                             hop_latency_s=hop) for d in (2, 4, 8)}})
+    return rows
+
+
 def main():
     sweep = sweep_tables()
     model, n80 = model_tables()
+    amg_comm, amg_sim, amg_ici = amg_tables()
+    sens = sensitivity_table()
     with open(OUT, "w") as f:
         for r in sweep:
             f.write(json.dumps({"kind": "sim_sweep", **r}) + "\n")
@@ -119,6 +200,14 @@ def main():
                             "gnnz_per_s": GNNZ_262K, **{str(k): v for k, v
                                                         in n80.items()}})
                 + "\n")
+        for r in amg_comm:
+            f.write(json.dumps({"kind": "amg_comm", **r}) + "\n")
+        for r in amg_sim:
+            f.write(json.dumps({"kind": "amg_sim_cycle", **r}) + "\n")
+        for r in amg_ici:
+            f.write(json.dumps({"kind": "amg_ici", **r}) + "\n")
+        for r in sens:
+            f.write(json.dumps({"kind": "ici_sensitivity", **r}) + "\n")
 
     print("\n### CPU-sim sweep (path validation)\n")
     print("| matrix | mesh | strategy | elapsed s | Gnnz/s | eff(sim) |")
@@ -139,6 +228,34 @@ def main():
     print(f"\n80%-efficiency crossover n (banded, 5 nnz/row, "
           f"{GNNZ_262K} Gnnz/s single-chip): "
           + ", ".join(f"D={d}: n≈{v:,}" for d, v in n80.items()))
+
+    print("\n### AMG V-cycle schedule at n=262k, 8 devices "
+          "(amg_comm_volume, trace-pinned)\n")
+    print("| comm | ppermutes/cycle | all_gathers/cycle | KB/cycle "
+          "| sim ms/cycle |")
+    print("|---|---|---|---|---|")
+    for r, s in zip(amg_comm, amg_sim):
+        print(f"| {r['comm']} | {r['ppermutes_per_cycle']} "
+              f"| {r['all_gathers_per_cycle']} "
+              f"| {r['bytes_per_cycle']/1024:.1f} | {s['per_cycle_ms']} |")
+    print("\nper-level strategies (auto):",
+          amg_comm[0]["levels"])
+
+    print("\n### ICI model: one AMG-CG-IR iteration at n=262k "
+          "(t1 = 14.0 ms measured, §4)\n")
+    print("| D | B/iter | ppermutes | gather hops | t_D ms | pred eff |")
+    print("|---|---|---|---|---|---|")
+    for r in amg_ici:
+        print(f"| {r['devices']} | {r['bytes_per_iter']} "
+              f"| {r['ppermutes_per_iter']} | {r['all_gather_hops']} "
+              f"| {r['t_d_ms']} | {r['pred_efficiency']} |")
+
+    print("\n### Crossover-n sensitivity (CG halo path)\n")
+    print("| link GB/s | hop µs | n80 D=2 | D=4 | D=8 |")
+    print("|---|---|---|---|---|")
+    for r in sens:
+        print(f"| {r['link_gbps']} | {r['hop_latency_us']} "
+              f"| {r['n80_d2']:,} | {r['n80_d4']:,} | {r['n80_d8']:,} |")
 
 
 if __name__ == "__main__":
