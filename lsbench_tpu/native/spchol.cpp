@@ -57,4 +57,30 @@ int64_t lsb_chol_numeric(int64_t n, const int64_t *a_offs,
   return 0;
 }
 
+// Host CSC triangular solve x = (L L^T)^{-1} b — the CPU-baseline the
+// reference's default backend times (CHOLMOD solves on the host,
+// cholmod.c:68 useGPU=0, cholmod-impl.h:44-63). Diagonal first in each
+// column; k columns of b solved back-to-back.
+void lsb_tri_solve(int64_t n, int64_t k, const int64_t *cp,
+                   const int64_t *ci, const double *cx, const double *b,
+                   double *x) {
+  for (int64_t col = 0; col < k; ++col) {
+    const double *bc = b + col * n;
+    double *xc = x + col * n;
+    for (int64_t i = 0; i < n; ++i) xc[i] = bc[i];
+    for (int64_t j = 0; j < n; ++j) {
+      double xj = xc[j] / cx[cp[j]];
+      xc[j] = xj;
+      for (int64_t s = cp[j] + 1; s < cp[j + 1]; ++s)
+        xc[ci[s]] -= cx[s] * xj;
+    }
+    for (int64_t j = n - 1; j >= 0; --j) {
+      double acc = xc[j];
+      for (int64_t s = cp[j] + 1; s < cp[j + 1]; ++s)
+        acc -= cx[s] * xc[ci[s]];
+      xc[j] = acc / cx[cp[j]];
+    }
+  }
+}
+
 }  // extern "C"

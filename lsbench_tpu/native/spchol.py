@@ -22,8 +22,29 @@ def _get_lib():
         lib.lsb_chol_numeric.argtypes = [ctypes.c_longlong, i64, i32, f64,
                                          i64, i64, i64, i64, f64]
         lib.lsb_chol_numeric.restype = ctypes.c_longlong
+        lib.lsb_tri_solve.argtypes = [ctypes.c_longlong, ctypes.c_longlong,
+                                      i64, i64, f64, f64, f64]
+        lib.lsb_tri_solve.restype = None
         _lib = lib
     return _lib
+
+
+def tri_solve(cp, ci, cx, b) -> np.ndarray:
+    """Host CSC triangular solve x = (L Lᵀ)⁻¹ b; b (n,) or (n, k) —
+    the CPU solve the reference's default CHOLMOD backend times
+    (cholmod-impl.h:44-63, useGPU=0)."""
+    lib = _get_lib()
+    b = np.asarray(b, dtype=np.float64)
+    squeeze = b.ndim == 1
+    b2 = b[:, None] if squeeze else b
+    n, k = b2.shape
+    x = np.empty((k, n), dtype=np.float64)
+    lib.lsb_tri_solve(int(n), int(k),
+                      np.ascontiguousarray(cp, np.int64),
+                      np.ascontiguousarray(ci, np.int64),
+                      np.ascontiguousarray(cx, np.float64),
+                      np.ascontiguousarray(b2.T), x)
+    return x[0] if squeeze else x.T
 
 
 def chol_numeric(n, a_offs, a_cols, a_vals, cp, ci, lrow_offs, lrow_cols
