@@ -6,7 +6,8 @@ The reference has no working distributed AMG — Hypre is compiled MPI-off
 
 - setup on host builds the same hierarchy as the single-chip path
   (solvers/amg.py `build_matrix_hierarchy` — SA or classical coarsening),
-  then `_align_coarse_levels` anchors every coarse numbering to fine
+  then `align_coarse_levels` (solvers/amg.py, opts.align_coarse)
+  anchors every coarse numbering to fine
   positions so ALL level operators stay banded AND orientation-aligned
   with the block-row partition;
 - every level's operators (A, P, R) are stored as row-sharded padded-row
@@ -54,57 +55,6 @@ def _round_up(x: int, m: int) -> int:
 
 def _pad_size(n: int, n_dev: int, align: int = 8) -> int:
     return _round_up(max(1, -(-n // n_dev)), align) * n_dev
-
-
-def _align_coarse_levels(mats, Acoarse):
-    """Renumber every coarse level so coarse ids follow the mean fine
-    position of their interpolatory sets (stable argsort over P's column
-    supports).
-
-    The RCM renumbering inside build_matrix_hierarchy (reorder_coarse)
-    keeps each coarse OPERATOR banded, but its orientation relative to
-    the finer level is arbitrary — RCM can start from either peripheral
-    end, and a reversed coarse ordering makes the rectangular P/R halo
-    reach ~n, forcing the all_gather fallback. Anchoring the order to
-    fine positions keeps banding AND alignment, so P and R ride the
-    O(halo) ppermute ring like the level matvecs. Pure renumbering: the
-    math is permutation-invariant (rho unchanged; dinv permuted)."""
-    mats = [dict(m) for m in mats]
-    for l in range(len(mats)):
-        P = mats[l]["P"]
-        pr, pc, pv = P.to_coo()
-        nc = P.ncols
-        pos_sum = np.zeros(nc)
-        cnt = np.zeros(nc)
-        np.add.at(pos_sum, pc, pr.astype(np.float64))
-        np.add.at(cnt, pc, 1.0)
-        order = np.argsort(pos_sum / np.maximum(cnt, 1.0), kind="stable")
-        if np.array_equal(order, np.arange(nc)):
-            continue
-        rank = np.empty(nc, dtype=np.int64)
-        rank[order] = np.arange(nc)
-        P2 = CsrMatrix.from_coo(pr, rank[pc], pv, nrows=P.nrows, ncols=nc,
-                                sum_duplicates=False)
-        mats[l]["P"] = P2
-        mats[l]["R"] = P2.transpose()
-        if l + 1 < len(mats):
-            nxt = mats[l + 1]
-            nxt["A"] = nxt["A"].permuted(order)
-            nxt["dinv"] = nxt["dinv"][order]
-            if "dinv_l1" in nxt:
-                nxt["dinv_l1"] = nxt["dinv_l1"][order]
-            # The next level's P lives in level-(l+1) ROW coordinates —
-            # renumber its rows too (its columns are handled when the
-            # loop reaches level l+1).
-            nr, ncc, nv = nxt["P"].to_coo()
-            nxt["P"] = CsrMatrix.from_coo(rank[nr], ncc, nv,
-                                          nrows=nxt["P"].nrows,
-                                          ncols=nxt["P"].ncols,
-                                          sum_duplicates=False)
-            nxt["R"] = nxt["P"].transpose()
-        else:
-            Acoarse = Acoarse.permuted(order)
-    return mats, Acoarse
 
 
 def _ell_padded(M: CsrMatrix, n_pad: int, dtype):
@@ -161,8 +111,6 @@ class _DistAmgBase(Solver):
         self.opts = opts
         mats, Acoarse = build_matrix_hierarchy(
             Ap, opts, breakdown=self.setup_breakdown)
-        if comm != "all_gather":
-            mats, Acoarse = _align_coarse_levels(mats, Acoarse)
         self.n_levels = len(mats) + 1
         self.comm = comm
 

@@ -260,6 +260,13 @@ class AmgOptions:
     reorder_coarse: bool = False  # RCM-renumber each coarse level (keeps
     #                               banding so distributed halo exchange
     #                               stays narrow — parallel/dist_amg.py)
+    align_coarse: bool = True    # anchor every coarse numbering to mean
+    #                               fine position (align_coarse_levels):
+    #                               keeps banded operators banded AND
+    #                               orientation-aligned across levels, so
+    #                               the window-ELL P/R kernel
+    #                               (ops/interp_pallas.py) and the
+    #                               rectangular halo plans stay narrow
     dense_level_bytes: int = 8 << 20  # coarse levels whose dense operator
     #                               is at most this (and not much bigger
     #                               than the sparse stream) use one MXU
@@ -309,6 +316,63 @@ def _unpack_csr(z: dict, prefix: str) -> CsrMatrix:
                      z[prefix + "_vals"])
 
 
+def align_coarse_levels(mats, Acoarse):
+    """Renumber every coarse level so coarse ids follow the mean fine
+    position of their interpolatory sets (stable argsort over P's column
+    supports).
+
+    Whenever the FINE operator is banded (RCM'd, or grid-ordered like
+    the production Poisson/SEM cases), this keeps every coarse operator
+    banded AND orientation-aligned with the finer level — RCM
+    renumbering alone (reorder_coarse) bands each level but leaves its
+    orientation arbitrary (RCM can start from either peripheral end),
+    which blows up the window spans of the narrow P/R kernel
+    (ops/interp_pallas.py) and the rectangular halo plans
+    (parallel/dist_spmv.py::build_rect_halo_plan). Pure renumbering:
+    permutation-invariant math (rho unchanged; dinv permuted)."""
+    mats = [dict(m) for m in mats]
+    for l in range(len(mats)):
+        P = mats[l]["P"]
+        pr, pc, pv = P.to_coo()
+        nc = P.ncols
+        pos_sum = np.zeros(nc)
+        cnt = np.zeros(nc)
+        np.add.at(pos_sum, pc, pr.astype(np.float64))
+        np.add.at(cnt, pc, 1.0)
+        order = np.argsort(pos_sum / np.maximum(cnt, 1.0), kind="stable")
+        if np.array_equal(order, np.arange(nc)):
+            continue
+        rank = np.empty(nc, dtype=np.int64)
+        rank[order] = np.arange(nc)
+        P2 = CsrMatrix.from_coo(pr, rank[pc], pv, nrows=P.nrows, ncols=nc,
+                                sum_duplicates=False)
+        mats[l]["P"] = P2
+        mats[l]["R"] = P2.transpose()
+        if l + 1 < len(mats):
+            nxt = mats[l + 1]
+            nxt["A"] = nxt["A"].permuted(order)
+            nxt["dinv"] = np.asarray(nxt["dinv"])[order]
+            if "dinv_l1" in nxt:
+                nxt["dinv_l1"] = np.asarray(nxt["dinv_l1"])[order]
+            # The next level's P lives in level-(l+1) ROW coordinates —
+            # renumber its rows too (columns are handled at level l+1).
+            nr, ncc, nv = nxt["P"].to_coo()
+            nxt["P"] = CsrMatrix.from_coo(rank[nr], ncc, nv,
+                                          nrows=nxt["P"].nrows,
+                                          ncols=nxt["P"].ncols,
+                                          sum_duplicates=False)
+            nxt["R"] = nxt["P"].transpose()
+        else:
+            Acoarse = Acoarse.permuted(order)
+    return mats, Acoarse
+
+
+def _maybe_align(mats, Acoarse, opts: AmgOptions):
+    if opts.align_coarse and mats:
+        return align_coarse_levels(mats, Acoarse)
+    return mats, Acoarse
+
+
 def build_matrix_hierarchy(A: CsrMatrix, opts: AmgOptions,
                            breakdown: dict | None = None):
     """Host coarsening loop → (level_mats, A_coarse). Each level entry is
@@ -348,10 +412,10 @@ def build_matrix_hierarchy(A: CsrMatrix, opts: AmgOptions,
                          dinv_l1=hit[f"l{l}_dinv_l1"],
                          rho=float(hit[f"l{l}_rho"][0]))
                     for l in range(nlev)]
-            return mats, _unpack_csr(hit, "coarse")
+            return _maybe_align(mats, _unpack_csr(hit, "coarse"), opts)
         refreshed = _pattern_hit_refresh(A, pat_key, key, breakdown)
         if refreshed is not None:
-            return refreshed
+            return _maybe_align(refreshed[0], refreshed[1], opts)
 
     mats = []
     Al = A
@@ -403,7 +467,7 @@ def build_matrix_hierarchy(A: CsrMatrix, opts: AmgOptions,
         cache.store_arrays("amg_hier_pat", pat_key, out)
     if breakdown is not None:
         breakdown.setdefault("hier_cache", "miss")
-    return mats, Al
+    return _maybe_align(mats, Al, opts)
 
 
 # In-process memo of refreshers so repeated same-pattern re-setups skip
@@ -638,11 +702,29 @@ def build_hierarchy(A: CsrMatrix, opts: AmgOptions, dtype, layout: str,
             return "dense"
         return layout
 
+    def transfer_matvec(M):
+        """P/R apply: the narrow window-ELL Pallas kernel when it wins.
+
+        Transfer operators are pmax-truncated (~2-16 nnz/row) and, with
+        opts.align_coarse, banded — the 8×128 BSR layout pads them ~260×
+        (496 MB for P₀ at n=262k, VERDICT r4 missing 4). The window-ELL
+        layout (ops/interp_pallas.py) streams ≈8·k bytes/row instead and
+        gathers via one-hot MXU matmuls inside VMEM."""
+        lay = per_level(M)
+        if lay in ("bsr", "bsr_classed", "bsr_xla"):
+            from lsbench_tpu.ops.interp_pallas import WindowEll, spmv_well
+            # Wider windows are acceptable on small (coarse) levels: the
+            # one-hot compare cost scales with k8·J per 128 rows.
+            op = WindowEll.from_csr(M, max_j=16 if M.nrows < 50_000 else 8)
+            if op is not None and op.bytes_streamed * 4 < _bsr_bytes(M):
+                return (lambda op, v: spmv_well(op, v)), op, op.bytes_streamed
+        return build_matvec(M, dtype, lay)
+
     level_params, level_aps = [], []
     for m in mats:
         a_ap, a_op, _ = build_matvec(m["A"], dtype, per_level(m["A"]))
-        p_ap, p_op, _ = build_matvec(m["P"], dtype, per_level(m["P"]))
-        r_ap, r_op, _ = build_matvec(m["R"], dtype, per_level(m["R"]))
+        p_ap, p_op, _ = transfer_matvec(m["P"])
+        r_ap, r_op, _ = transfer_matvec(m["R"])
         lp = dict(
             a=a_op, p=p_op, r=r_op,
             inv_diag=jnp.asarray(m["dinv"], dtype=dtype),
