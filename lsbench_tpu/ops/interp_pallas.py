@@ -42,7 +42,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TR = 128      # fine rows per grid step (lane count)
+TR = 128      # fine rows per window tile (lane count)
+TPS = 8       # tiles per grid step (output block sublane constraint)
 KPAD = 8      # slot (sublane) pad multiple
 
 
@@ -60,10 +61,15 @@ class WindowEll:
     ncols: int
     nnz: int
     j_blocks: int       # J: window width in 128-blocks (static)
+    k_real: int = 0     # true max nnz/row (≤ k8): the kernel's slot loop
+    #                     runs only this far — the sublane pad rows are
+    #                     structurally zero (halves the one-hot compare
+    #                     cost for pmax=4 interpolation)
 
     def tree_flatten(self):
         return ((self.vals, self.lcols, self.w0),
-                (self.nrows, self.ncols, self.nnz, self.j_blocks))
+                (self.nrows, self.ncols, self.nnz, self.j_blocks,
+                 self.k_real))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -97,7 +103,7 @@ class WindowEll:
         k8 = _round_up(k, KPAD)
         if k8 > max_k:
             return None
-        n_pad = _round_up(n, TR)
+        n_pad = _round_up(n, TR * TPS)
         T = n_pad // TR
         rows = M.row_indices()
         tile = rows // TR
@@ -127,49 +133,60 @@ class WindowEll:
             vals=jnp.asarray(vals.T.copy()),
             lcols=jnp.asarray(lcols.T.copy()),
             w0=jnp.asarray(w0.astype(np.int32)),
-            nrows=n, ncols=nc, nnz=M.nnz, j_blocks=J)
+            nrows=n, ncols=nc, nnz=M.nnz, j_blocks=J, k_real=k)
 
 
-def _well_kernel(w0_ref, x_ref, vals_ref, lcols_ref, o_ref, *, k8: int,
+def _well_kernel(w0_ref, x_ref, vals_ref, lcols_ref, o_ref, *, k_loop: int,
                  j_blocks: int):
-    t = pl.program_id(0)
-    cb = w0_ref[t]
+    """TPS window tiles per grid step (the output block must span ≥8
+    sublanes on TPU); each tile gathers from its own 128-aligned
+    window of the source table."""
+    step = pl.program_id(0)
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (TR, TR), 0)  # (w, row)
-    y = jnp.zeros((1, TR), dtype=jnp.float32)
-    for j in range(j_blocks):
-        xj = x_ref[cb + j, :]                                    # (128,)
-        for s in range(k8):
-            lc = lcols_ref[s, :]
-            sel = (lc[None, :] == iota_w + j * TR).astype(jnp.float32)
+    for gl in range(TPS):
+        cb = w0_ref[step * TPS + gl]
+        y = jnp.zeros((TR,), dtype=jnp.float32)
+        for j in range(j_blocks):
+            xj = x_ref[cb + j, :]                                # (128,)
+            # Fold the slot values into ONE weighted selector per
+            # window block: W[w,r] = Σ_s vals[s,r]·[lcols[s,r]==w+128j],
+            # then a single (1,128)@(128,128) MXU dot gathers+scales.
+            W = jnp.zeros((TR, TR), dtype=jnp.float32)
+            for s in range(k_loop):
+                lc = lcols_ref[s, gl * TR:(gl + 1) * TR]
+                sel = (lc[None, :] == iota_w + j * TR).astype(jnp.float32)
+                W = W + vals_ref[s, gl * TR:(gl + 1) * TR][None, :] * sel
             g = jax.lax.dot_general(
-                xj, sel, (((0,), (0,)), ((), ())),
+                xj[None, :], W, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)             # (128,)
-            y = y + (vals_ref[s, :] * g)[None, :]
-    o_ref[...] = y
+                precision=jax.lax.Precision.HIGHEST)             # (1,128)
+            y = y + g[0]
+        o_ref[gl] = y
 
 
-@functools.partial(jax.jit, static_argnames=("k8", "j_blocks", "interpret"))
-def _spmv_well_call(w0, x_table, vals, lcols, k8, j_blocks,
+@functools.partial(jax.jit, static_argnames=("k8", "k_loop", "j_blocks",
+                                              "interpret"))
+def _spmv_well_call(w0, x_table, vals, lcols, k8, k_loop, j_blocks,
                     interpret=False):
     T = vals.shape[1] // TR
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(T,),
+        grid=(T // TPS,),
         in_specs=[
             pl.BlockSpec((x_table.shape[0], TR), lambda t, w0: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k8, TR), lambda t, w0: (0, t),
+            pl.BlockSpec((k8, TPS * TR), lambda t, w0: (0, t),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((k8, TR), lambda t, w0: (0, t),
+            pl.BlockSpec((k8, TPS * TR), lambda t, w0: (0, t),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TR), lambda t, w0: (t, 0),
+        out_specs=pl.BlockSpec((TPS, TR), lambda t, w0: (t, 0),
                                memory_space=pltpu.VMEM),
     )
     with jax.enable_x64(False):
         return pl.pallas_call(
-            functools.partial(_well_kernel, k8=k8, j_blocks=j_blocks),
+            functools.partial(_well_kernel, k_loop=k_loop,
+                              j_blocks=j_blocks),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((T, TR), jnp.float32),
             interpret=interpret,
@@ -185,5 +202,6 @@ def spmv_well(op: WindowEll, v, interpret: bool | None = None):
     xt = jnp.zeros(ctab * TR, jnp.float32).at[: op.ncols].set(
         v32).reshape(ctab, TR)
     y = _spmv_well_call(op.w0, xt, op.vals, op.lcols, op.k8,
-                        op.j_blocks, interpret=interpret)
+                        op.k_real or op.k8, op.j_blocks,
+                        interpret=interpret)
     return y.reshape(-1)[: op.nrows]
