@@ -48,13 +48,14 @@ from lsbench_tpu.solvers.base import SolveResult, Solver
 # (local solution shard, iteration count).
 
 
-def _cg_inner(mv, invd_l, rhs_l, inner_rtol, maxiter):
+def _cg_inner(mv, invd_l, rhs_l, inner_rtol, maxiter, axis=ROWS):
     """f32 Jacobi-CG of A d = rhs to inner_rtol (one fused psum/iter)."""
-    (bb,) = fused_psum(jnp.vdot(rhs_l, rhs_l))
+    (bb,) = fused_psum(jnp.vdot(rhs_l, rhs_l), axis=axis)
     tol2 = jnp.asarray(inner_rtol**2, jnp.float32) * bb
     x0 = jnp.zeros_like(rhs_l)
     z0 = invd_l * rhs_l
-    rz0, rr0 = fused_psum(jnp.vdot(rhs_l, z0), jnp.vdot(rhs_l, rhs_l))
+    rz0, rr0 = fused_psum(jnp.vdot(rhs_l, z0), jnp.vdot(rhs_l, rhs_l),
+                          axis=axis)
 
     def cond(s):
         *_, rr, it = s
@@ -63,12 +64,12 @@ def _cg_inner(mv, invd_l, rhs_l, inner_rtol, maxiter):
     def body(s):
         x, r, p, rz, rr, it = s
         Ap = mv(p)
-        (pAp,) = fused_psum(jnp.vdot(p, Ap))
+        (pAp,) = fused_psum(jnp.vdot(p, Ap), axis=axis)
         alpha = rz / pAp
         x = x + alpha * p
         r = r - alpha * Ap
         z = invd_l * r
-        rz_new, rr_new = fused_psum(jnp.vdot(r, z), jnp.vdot(r, r))
+        rz_new, rr_new = fused_psum(jnp.vdot(r, z), jnp.vdot(r, r), axis=axis)
         beta = rz_new / rz
         p = z + beta * p
         return (x, r, p, rz_new, rr_new, it + 1)
@@ -78,11 +79,11 @@ def _cg_inner(mv, invd_l, rhs_l, inner_rtol, maxiter):
     return x, it
 
 
-def _bicgstab_inner(mv, invd_l, rhs_l, inner_rtol, maxiter):
+def _bicgstab_inner(mv, invd_l, rhs_l, inner_rtol, maxiter, axis=ROWS):
     """f32 Jacobi-BiCGSTAB of A d = rhs (the ginkgo.cpp:55-64 recurrence,
     same fused-psum schedule as parallel/dist_bicgstab.py)."""
     r0 = rhs_l
-    (r0n2,) = fused_psum(jnp.vdot(r0, r0))
+    (r0n2,) = fused_psum(jnp.vdot(r0, r0), axis=axis)
     tol2 = jnp.asarray(inner_rtol**2, jnp.float32) * r0n2
     one = jnp.asarray(1.0, jnp.float32)
     init = (jnp.zeros_like(rhs_l), r0, jnp.zeros_like(rhs_l),
@@ -94,7 +95,7 @@ def _bicgstab_inner(mv, invd_l, rhs_l, inner_rtol, maxiter):
 
     def body(s):
         x, r, p, v, rho, alpha, omega, rr, it = s
-        (rho_new,) = fused_psum(jnp.vdot(r0, r))
+        (rho_new,) = fused_psum(jnp.vdot(r0, r), axis=axis)
         # f32 breakdown guard: a vanishing rho/omega would produce inf
         # beta; freeze the step instead (the outer f64 pass absorbs it).
         denom = rho * omega
@@ -102,16 +103,16 @@ def _bicgstab_inner(mv, invd_l, rhs_l, inner_rtol, maxiter):
         p = r + beta * (p - omega * v)
         ph = invd_l * p
         v = mv(ph)
-        (r0v,) = fused_psum(jnp.vdot(r0, v))
+        (r0v,) = fused_psum(jnp.vdot(r0, v), axis=axis)
         alpha = jnp.where(r0v != 0, rho_new / r0v, 0.0)
         sv = r - alpha * v
         sh = invd_l * sv
         t = mv(sh)
-        tt, ts = fused_psum(jnp.vdot(t, t), jnp.vdot(t, sv))
+        tt, ts = fused_psum(jnp.vdot(t, t), jnp.vdot(t, sv), axis=axis)
         omega = jnp.where(tt > 0, ts / tt, jnp.zeros_like(tt))
         x = x + alpha * ph + omega * sh
         r = sv - omega * t
-        (rr_new,) = fused_psum(jnp.vdot(r, r))
+        (rr_new,) = fused_psum(jnp.vdot(r, r), axis=axis)
         return (x, r, p, v, rho_new, alpha, omega, rr_new, it + 1)
 
     x, r, p, v, rho, alpha, omega, rr, it = jax.lax.while_loop(
@@ -119,7 +120,8 @@ def _bicgstab_inner(mv, invd_l, rhs_l, inner_rtol, maxiter):
     return x, it
 
 
-def _gmres_inner(mv, invd_l, rhs_l, inner_rtol, maxiter, restart):
+def _gmres_inner(mv, invd_l, rhs_l, inner_rtol, maxiter, restart,
+                 axis=ROWS):
     """f32 restarted GMRES(m) of A d = rhs (CGS2 Arnoldi, replicated
     Hessenberg least-squares — parallel/dist_gmres.py's cycle)."""
     m = restart
@@ -129,7 +131,7 @@ def _gmres_inner(mv, invd_l, rhs_l, inner_rtol, maxiter, restart):
     eps_break = 1e-30
 
     def pdot(a, b):
-        return jax.lax.psum(jnp.vdot(a, b), ROWS)
+        return jax.lax.psum(jnp.vdot(a, b), axis)
 
     bb = pdot(rhs_l, rhs_l)
     tol = jnp.asarray(inner_rtol, dt) * jnp.sqrt(bb)
@@ -145,9 +147,9 @@ def _gmres_inner(mv, invd_l, rhs_l, inner_rtol, maxiter, restart):
             V, H = carry
             w = mv(invd_l * V[j])
             mask = (jnp.arange(m + 1) <= j).astype(dt)
-            h1 = jax.lax.psum(V @ w, ROWS) * mask
+            h1 = jax.lax.psum(V @ w, axis) * mask
             w = w - V.T @ h1
-            h2 = jax.lax.psum(V @ w, ROWS) * mask
+            h2 = jax.lax.psum(V @ w, axis) * mask
             w = w - V.T @ h2
             h = h1 + h2
             hnext = jnp.sqrt(pdot(w, w))
@@ -388,3 +390,167 @@ class DistributedGmresIr(DistributedKrylovIr):
         restart = self.restart
         return lambda mv, invd_l, rhs_l: _gmres_inner(
             mv, invd_l, rhs_l, inner_rtol, maxiter, restart)
+
+
+# ------------------------------------------------- 2-D partition variants
+
+class DistributedKrylovIr2d(Solver):
+    """fp64 semantics over the 2-D (rows × cols) partition: f32 inner
+    Krylov on the all_gather-rows/psum_scatter-cols schedule
+    (parallel/dist2d.py) + once-per-pass double-float f64 residual, all
+    in one shard_map program — the very-large-matrix axis
+    (SURVEY.md §5 long-context row) at the reference's 1e-10 tolerance
+    (lsbench.c:140-141) and f32 per-iteration cost. Closes VERDICT r4
+    missing 3 (`--precision fp32_ir --mesh RxC` was rejected for
+    everything but multi-RHS block CG)."""
+
+    def __init__(self, A: CsrMatrix, mesh: Mesh, rtol=1e-10,
+                 inner_rtol=1e-5, maxiter=None, max_refine=6,
+                 ordering="none", local_spmv="auto", dtype=None, **params):
+        super().__init__(A, **params)
+        del dtype  # precision structure fixed: f32 inner / f64 outer
+        from lsbench_tpu.parallel.dist2d import build_2d_matvec
+        from lsbench_tpu.parallel.mesh import COLS
+        if set(mesh.axis_names) != {ROWS, COLS}:
+            raise ValueError(
+                f"need a ({ROWS},{COLS}) mesh, got {mesh.axis_names}")
+        A, self._ord = resolve_dist_ordering(A, ordering)
+        self.mesh = mesh
+        self.rtol = float(rtol)
+        self.inner_rtol = float(inner_rtol)
+        self.maxiter = (int(maxiter) if maxiter is not None
+                        else max(10 * A.nrows, 1000))
+        self.max_refine = int(max_refine)
+        self.n = A.nrows
+
+        (op32_args, op32_specs, mv32_local, self.local_spmv, plan,
+         vma32) = build_2d_matvec(A, mesh, jnp.float32, local_spmv)
+        (op64_args, op64_specs, mv64_local, _, plan64,
+         vma64) = build_2d_matvec(A, mesh, jnp.float64, self.local_spmv)
+        assert plan.n_pad == plan64.n_pad
+        self.plan = plan
+        self.n_pad = plan.n_pad
+
+        both = (ROWS, COLS)
+        vec_shard = NamedSharding(mesh, P(both))
+        self.vec_shard = vec_shard
+
+        d = np.ones(self.n_pad)
+        diag = A.diagonal()
+        d[: self.n] = np.where(diag != 0.0, diag, 1.0)
+        inv_diag = jax.device_put(jnp.asarray(1.0 / d, dtype=jnp.float32),
+                                  vec_shard)
+
+        rtol_c, max_refine_c = self.rtol, self.max_refine
+        n32 = len(op32_specs)
+        inner_solve = self._make_inner(both)
+
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(*op32_specs, *op64_specs, P(both), P(both)),
+                 out_specs=(P(both), P(), P(), P(), P()),
+                 check_vma=vma32 and vma64)
+        def _solve(*args):
+            op32_l = tuple(args[:n32])
+            op64_l = tuple(args[n32:-2])
+            invd_l, b_l = args[-2:]
+
+            def mv(p_l):
+                return mv32_local(op32_l, p_l)
+
+            b_l = b_l.astype(jnp.float64)
+            (bb,) = fused_psum(jnp.vdot(b_l, b_l), axis=both)
+            tol2 = (rtol_c**2) * bb
+
+            def refine_cond(s):
+                x, r, rr, it_total, passes = s
+                return jnp.logical_and(passes < max_refine_c, rr > tol2)
+
+            def refine_body(s):
+                x, r, rr, it_total, passes = s
+                scale = jnp.sqrt(rr)
+                safe = jnp.where(scale > 0, scale, 1.0)
+                rhs32 = (r.astype(jnp.float32)
+                         * (1.0 / safe).astype(jnp.float32))
+                d32, inner_iters = inner_solve(mv, invd_l, rhs32)
+                d32 = jnp.where(jnp.isfinite(d32), d32, 0.0)
+                x = x + (d32 * safe.astype(jnp.float32)).astype(jnp.float64)
+                r_new = b_l - mv64_local(op64_l, x)
+                (rr_new,) = fused_psum(jnp.vdot(r_new, r_new), axis=both)
+                return (x, r_new, rr_new, it_total + inner_iters,
+                        passes + 1)
+
+            x0 = jnp.zeros_like(b_l)
+            x, r, rr, iters, passes = jax.lax.while_loop(
+                refine_cond, refine_body,
+                (x0, b_l, bb, jnp.int32(0), jnp.int32(0)))
+            return x, jnp.sqrt(rr), jnp.sqrt(bb), iters, passes
+
+        self._op_args = (*op32_args, *op64_args, inv_diag)
+        self._jit_solve = jax.jit(_solve)
+
+    def _make_inner(self, axis):
+        raise NotImplementedError
+
+    def _pad_b(self, b):
+        b = jnp.asarray(self._ord.permute_b(b), dtype=jnp.float64)
+        if b.shape[0] != self.n:
+            raise ValueError(f"b has {b.shape[0]} entries, expected {self.n}")
+        bp = jnp.zeros(self.n_pad, jnp.float64).at[: self.n].set(b)
+        return jax.device_put(bp, self.vec_shard)
+
+    def solve(self, b) -> SolveResult:
+        x, rnorm, bnorm, iters, passes = self._jit_solve(
+            *self._op_args, self._pad_b(b))
+        rnorm, bnorm = float(rnorm), float(bnorm)
+        relres = rnorm / bnorm if bnorm > 0 else 0.0
+        x_host = self._ord.unpermute_x(np.asarray(x)[: self.n])
+        true_rel = self.true_relres(x_host, b)
+        return SolveResult(x=x_host, iters=int(iters), relres=relres,
+                           converged=true_rel <= self.rtol or bnorm == 0.0,
+                           extra={"refine_passes": int(passes),
+                                  "mesh": (self.plan.pr, self.plan.pc),
+                                  "local_spmv": self.local_spmv,
+                                  "true_relres": true_rel,
+                                  "precision_mode": "fp32_ir_auto"})
+
+    def solve_fn(self):
+        op_args, jit_solve, pad = self._op_args, self._jit_solve, self._pad_b
+        return lambda b: jit_solve(*op_args, pad(b))[0]
+
+
+class DistributedCgIr2d(DistributedKrylovIr2d):
+    """`--solver cg --precision fp32_ir --mesh RxC`."""
+
+    name = "dist_cg_ir2d"
+
+    def _make_inner(self, axis):
+        inner_rtol, maxiter = self.inner_rtol, self.maxiter
+        return lambda mv, invd_l, rhs_l: _cg_inner(
+            mv, invd_l, rhs_l, inner_rtol, maxiter, axis=axis)
+
+
+class DistributedBicgstabIr2d(DistributedKrylovIr2d):
+    """`--solver bicgstab/ginkgo --precision fp32_ir --mesh RxC`."""
+
+    name = "dist_bicgstab_ir2d"
+
+    def _make_inner(self, axis):
+        inner_rtol, maxiter = self.inner_rtol, self.maxiter
+        return lambda mv, invd_l, rhs_l: _bicgstab_inner(
+            mv, invd_l, rhs_l, inner_rtol, maxiter, axis=axis)
+
+
+class DistributedGmresIr2d(DistributedKrylovIr2d):
+    """`--solver gmres --precision fp32_ir --mesh RxC`."""
+
+    name = "dist_gmres_ir2d"
+
+    def __init__(self, A: CsrMatrix, mesh: Mesh, restart=30, **kw):
+        self.restart = int(restart)
+        super().__init__(A, mesh, **kw)
+
+    def _make_inner(self, axis):
+        inner_rtol, maxiter = self.inner_rtol, self.maxiter
+        restart = self.restart
+        return lambda mv, invd_l, rhs_l: _gmres_inner(
+            mv, invd_l, rhs_l, inner_rtol, maxiter, restart, axis=axis)

@@ -133,6 +133,16 @@ def run_dryrun(n_devices: int) -> None:
               / np.linalg.norm(b))
         assert res4.converged and r4 < 1e-7, (res4.iters, res4.relres, r4)
 
+        # 2-D mixed-precision CG-IR (f32 inner on the 2-D schedule +
+        # df64 per-pass residual — `--precision fp32_ir --mesh RxC`,
+        # VERDICT r4 missing 3).
+        from lsbench_tpu.parallel.dist_cg_ir import DistributedCgIr2d
+        res6 = DistributedCgIr2d(A, mesh2, rtol=1e-8,
+                                 local_spmv="bsr").solve(b)
+        r6 = (np.linalg.norm(b - A.matvec(np.asarray(res6.x)))
+              / np.linalg.norm(b))
+        assert r6 < 1e-5, (res6.iters, res6.relres, r6)
+
         # 2-D multi-RHS block CG (--nrhs k x --mesh RxC composition).
         rng2 = np.random.default_rng(1)
         B2 = np.column_stack([b, rng2.standard_normal(A.nrows)])
