@@ -702,29 +702,51 @@ def build_hierarchy(A: CsrMatrix, opts: AmgOptions, dtype, layout: str,
             return "dense"
         return layout
 
-    def transfer_matvec(M):
-        """P/R apply: the narrow window-ELL Pallas kernel when it wins.
+    # Measured v5e rates for the well-vs-BSR cost model (calibrated on
+    # the n=262k classical hierarchy): the window-ELL kernel is compare-
+    # bound at ~1.1e12 one-hot elements/s (A0 k=5 J=9: 1415 us; P0 k=4
+    # J=5: 642 us), the BSR kernel HBM-bound at ~600-840 GB/s on its
+    # PADDED stream. Smoother operators (5 applies/cycle) keep BSR;
+    # P0/R0 engage well (P0: 0.61 vs 0.91 ms AND 640 MB -> 16 MB).
+    WELL_EL_RATE = 1.1e12
+    BSR_STREAM_BPS = 7.0e11
 
-        Transfer operators are pmax-truncated (~2-16 nnz/row) and, with
-        opts.align_coarse, banded — the 8×128 BSR layout pads them ~260×
-        (496 MB for P₀ at n=262k, VERDICT r4 missing 4). The window-ELL
-        layout (ops/interp_pallas.py) streams ≈8·k bytes/row instead and
-        gathers via one-hot MXU matmuls inside VMEM."""
+    def _try_well(M, slack: float):
+        """WindowEll layout for a banded narrow operator, or None.
+
+        Engages only when it (a) streams >=4x fewer bytes than BSR and
+        (b) the compare-bound apply model predicts <= slack x the BSR
+        stream time — strict (1.0) for smoother operators (a_applies
+        per cycle), relaxed for once-per-cycle transfers where the
+        50-100x memory/setup cut is worth a small apply penalty
+        (VERDICT r4 missing 4: the narrow-interp layout)."""
         lay = per_level(M)
-        if lay in ("bsr", "bsr_classed", "bsr_xla"):
-            from lsbench_tpu.ops.interp_pallas import WindowEll, spmv_well
-            # Wider windows are acceptable on small (coarse) levels: the
-            # one-hot compare cost scales with k8·J per 128 rows.
-            op = WindowEll.from_csr(M, max_j=16 if M.nrows < 50_000 else 8)
-            if op is not None and op.bytes_streamed * 4 < _bsr_bytes(M):
-                return (lambda op, v: spmv_well(op, v)), op, op.bytes_streamed
+        if lay not in ("bsr", "bsr_classed", "bsr_xla"):
+            return None, lay
+        from lsbench_tpu.ops.interp_pallas import TR, WindowEll
+        op = WindowEll.from_csr(M, max_k=24, max_j=16)
+        if op is None:
+            return None, lay
+        bsr = _bsr_bytes(M)
+        if op.bytes_streamed * 4 >= bsr:
+            return None, lay
+        t_well = op.n_pad * op.k_real * op.j_blocks * TR / WELL_EL_RATE
+        if t_well > slack * (bsr / BSR_STREAM_BPS):
+            return None, lay
+        return op, lay
+
+    def operator_matvec(M, slack: float):
+        op, lay = _try_well(M, slack)
+        if op is not None:
+            from lsbench_tpu.ops.interp_pallas import spmv_well
+            return (lambda op, v: spmv_well(op, v)), op, op.bytes_streamed
         return build_matvec(M, dtype, lay)
 
     level_params, level_aps = [], []
     for m in mats:
-        a_ap, a_op, _ = build_matvec(m["A"], dtype, per_level(m["A"]))
-        p_ap, p_op, _ = transfer_matvec(m["P"])
-        r_ap, r_op, _ = transfer_matvec(m["R"])
+        a_ap, a_op, _ = operator_matvec(m["A"], slack=1.0)
+        p_ap, p_op, _ = operator_matvec(m["P"], slack=1.5)
+        r_ap, r_op, _ = operator_matvec(m["R"], slack=1.5)
         lp = dict(
             a=a_op, p=p_op, r=r_op,
             inv_diag=jnp.asarray(m["dinv"], dtype=dtype),
