@@ -24,15 +24,19 @@ import numpy as np
 OUT = "_results_spchol.jsonl"
 
 
-def run_case(name, A, trials=5):
+def run_case(name, A, trials=5, schedule="block", nrhs=0):
     import jax
 
     from lsbench_tpu.solvers.sparse_cholesky import SparseCholeskySolver
     from lsbench_tpu.utils import host_fence
 
     b = np.arange(A.nrows, dtype=np.float64)
+    if nrhs:
+        rng = np.random.default_rng(0)
+        b = np.column_stack([b] + [rng.standard_normal(A.nrows)
+                                   for _ in range(nrhs - 1)])
     t0 = time.perf_counter()
-    s = SparseCholeskySolver(A, ordering="amd")
+    s = SparseCholeskySolver(A, ordering="amd", schedule=schedule)
     setup_s = time.perf_counter() - t0
 
     fn = s.solve_fn()
@@ -47,10 +51,11 @@ def run_case(name, A, trials=5):
     solve_s = (time.perf_counter() - t0) / trials
 
     res = s.solve(b)
-    true_rel = (np.linalg.norm(b - A.matvec(np.asarray(res.x, np.float64)))
-                / np.linalg.norm(b))
+    true_rel = res.relres
     rec = {
         "case": name, "n": A.nrows, "nnz": A.nnz,
+        "schedule": schedule, "nrhs": nrhs or 1,
+        "blocks": s.n_blocks,
         "backend": jax.default_backend(),
         "setup_s": round(setup_s, 2),
         "setup_breakdown": {k: round(v, 2)
@@ -71,14 +76,24 @@ def main():
     from lsbench_tpu.matrix.io import read_matrix
 
     recs = []
-    # Reference-scale smoke (fast; catches route breakage off-rig).
-    recs.append(run_case("xn3b_A_18",
-                         read_matrix("/root/reference/tests/xn3b_A_18.txt")))
-    # Beyond-reference: banded + irregular.
-    recs.append(run_case("poisson_512 (n=262k banded)", poisson_2d(512),
-                         trials=3))
-    recs.append(run_case("sem_256_p2 (n=263k irregular SEM, 16 nnz/row)",
-                         sem_2d(256, 2), trials=3))
+    # Reference-scale smoke (fast; catches route breakage off-rig) —
+    # blocked schedule (the round-5 partitioned-inverse sweep), the
+    # round-4 level schedule, and the native host-CPU solve baseline
+    # (the CHOLMOD role's actual timed region, cholmod-impl.h:44-63).
+    Aref = read_matrix("/root/reference/tests/xn3b_A_18.txt")
+    for sched in ("block", "level", "host"):
+        recs.append(run_case(f"xn3b_A_18 [{sched}]", Aref, schedule=sched))
+    # Beyond-reference: banded + irregular, all three schedules + the
+    # multi-RHS amortization row (factor once / solve repeatedly).
+    for sched in ("block", "level", "host"):
+        recs.append(run_case(f"poisson_512 (n=262k banded) [{sched}]",
+                             poisson_2d(512), trials=3, schedule=sched))
+    recs.append(run_case("poisson_512 [block, nrhs=8]", poisson_2d(512),
+                         trials=3, schedule="block", nrhs=8))
+    for sched in ("block", "host"):
+        recs.append(run_case(
+            f"sem_256_p2 (n=263k irregular SEM) [{sched}]",
+            sem_2d(256, 2), trials=3, schedule=sched))
 
     # The reference-default route: --solver cholmod above the dense guard
     # must auto-delegate here (direct.py) — record that the route works

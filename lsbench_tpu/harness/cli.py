@@ -432,10 +432,12 @@ def _make_distributed(solver_name: str, A, args, params):
     if solver_name in amg_like:
         from lsbench_tpu.parallel.dist_amg import DistributedAmg
         # Full alias preset pass-through so `--solver hypre --devices N`
-        # builds the SAME hierarchy as the single-chip alias ("cycle" is
-        # excluded: the K-cycle's FCG recursion is single-chip only).
-        for k in ("cycles", "coarsening", "theta", "interp", "interp_passes",
-                  "interp_omega", "pmax", "smoother",
+        # builds the SAME hierarchy as the single-chip alias — including
+        # "cycle": the K-cycle's FCG recursion distributes with fused
+        # psums at every level (dist_amg.py coarse_correct, round 5 —
+        # `--solver paralmond --devices N` now runs its own protocol).
+        for k in ("cycles", "cycle", "coarsening", "theta", "interp",
+                  "interp_passes", "interp_omega", "pmax", "smoother",
                   "degree", "pre_sweeps", "post_sweeps"):
             if k in params:
                 kw[k] = params[k]

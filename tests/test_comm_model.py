@@ -146,6 +146,34 @@ def test_amg_cg_counts_match_trace(collective_counts):
     assert cv.bytes_per_cycle < cv_ag.bytes_per_cycle / 4
 
 
+def test_amg_kcycle_counts_match_trace(collective_counts):
+    """Distributed K-cycle (parAlmond role, paralmond.cpp:118-140 —
+    VERDICT r4 missing 5): level visits double per depth and each
+    coarse_correct entry adds 2 FCG matvecs + 2 fused psums; the model
+    must match the trace exactly."""
+    _require(8)
+    from lsbench_tpu.parallel.comm_model import amg_comm_volume
+    from lsbench_tpu.parallel.dist_amg import DistributedAmg
+    A = poisson_2d(64)
+    s = DistributedAmg(A, make_row_mesh(8), dtype=jnp.float32, cycles=1,
+                       cycle="k", comm="auto")
+    cv = amg_comm_volume(s)
+    assert cv.psums_per_cycle > 0          # FCG dots exist
+    assert s.n_levels >= 3
+
+    s.solve(np.arange(A.nrows, dtype=np.float64))
+    # Trace = 1 psum (b·b) + ONE K-cycle + 1 fine matvec residual
+    # + 1 psum (r·r).
+    fine_pp = cv.ppermutes_per_iter - cv.ppermutes_per_cycle
+    fine_ag = cv.all_gathers_per_iter - cv.all_gathers_per_cycle
+    assert collective_counts["psum"] == 2 + cv.psums_per_cycle
+    assert collective_counts["ppermute"] == cv.ppermutes_per_cycle + fine_pp
+    assert collective_counts["all_gather"] == cv.all_gathers_per_cycle + fine_ag
+    # Structure: with L coarse-correct levels the coarse grid is hit
+    # 2^(nlev-1) times.
+    assert cv.all_gathers_per_cycle >= 2 ** (s.n_levels - 2)
+
+
 def test_amg_cg_ir_counts_match_trace(collective_counts):
     """The production path (DistributedAmgCgIr): inner f32 AMG-CG
     schedule + per-pass df64 residual matvec + psums, from the trace."""

@@ -146,3 +146,33 @@ def test_native_spgemm_matches_numpy_fallback():
     np.testing.assert_allclose(C2.to_dense(), A.to_dense() @ P.to_dense(),
                                atol=1e-10)
     assert C2.shape == (n, nc)
+
+
+def test_native_amd_quality_and_validity():
+    # lsb_amd (approximate minimum degree, round 5): a valid permutation
+    # whose fill is no worse than ~1.1x the exact-MD fill (measured
+    # BETTER: 9.06M vs 12.25M at n=262k) and deterministic.
+    from lsbench_tpu.matrix.generate import poisson_2d
+    from lsbench_tpu.ordering.rcm import _symmetrized_graph
+    from lsbench_tpu.solvers.sparse_cholesky import (elimination_tree,
+                                                     symbolic_rows,
+                                                     symmetrize)
+    try:
+        from lsbench_tpu.native.mindeg import amd_approx, min_degree
+    except Exception:
+        pytest.skip("native toolchain unavailable")
+    A = poisson_2d(40)
+    offs, cols = _symmetrized_graph(A)
+    p1 = amd_approx(offs, cols, A.nrows)
+    p2 = amd_approx(offs, cols, A.nrows)
+    np.testing.assert_array_equal(p1, p2)          # deterministic
+    assert sorted(p1) == list(range(A.nrows))      # valid permutation
+
+    def fill(perm):
+        Ap = symmetrize(A.permuted(perm))
+        lo, _ = symbolic_rows(Ap, elimination_tree(Ap))
+        return int(lo[-1])
+
+    f_amd = fill(p1)
+    f_md = fill(min_degree(offs, cols, A.nrows))
+    assert f_amd <= 1.1 * f_md, (f_amd, f_md)

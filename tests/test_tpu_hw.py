@@ -452,3 +452,138 @@ def test_sparse_cholesky_delegation_hw():
     tr = (np.linalg.norm(b - A.matvec(np.asarray(res.x, np.float64)))
           / np.linalg.norm(b))
     assert tr <= 1e-10, tr
+
+
+def test_spmv_perf_tripwire_hw(A, x32):
+    """Kernel-level perf pin for the headline Pallas SpMV (VERDICT r4
+    weak 4: only cg_ir had a tripwire — a raw-kernel regression would
+    ship silently). Roofline-relative: the streamed-bytes bound at a
+    conservative 400 GB/s (the kernel measures 600-840 GB/s — §2), so
+    the pin survives rig-to-rig variance but trips on a >~1.7x
+    regression."""
+    _require_tpu()
+    import time
+
+    from lsbench_tpu.matrix.bsr import BsrMatrix
+    from lsbench_tpu.ops.spmv_pallas import spmv_bsr
+    bsr = BsrMatrix.from_csr(A)
+
+    def wall(chain):
+        @jax.jit
+        def run(op, v):
+            def body(_, u):
+                y = spmv_bsr(op, u, interpret=False).astype(jnp.float32)
+                return y * jnp.float32(1e-3) + u
+            return jax.lax.fori_loop(0, chain, body, v)
+        np.asarray(run(bsr, x32))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(run(bsr, x32))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    per_spmv = (wall(600) - wall(200)) / 400
+    stream_bound_s = bsr.bytes_streamed / 400e9
+    print(f"spmv {per_spmv*1e6:.1f} us (stream bound @400GB/s "
+          f"{stream_bound_s*1e6:.1f} us)")
+    assert per_spmv <= stream_bound_s + 10e-6, (per_spmv, stream_bound_s)
+
+
+def test_spmm_perf_tripwire_hw(A):
+    """Multi-RHS SpMM pin: k=8 columns must ride the same streamed
+    blocks at ≤2x one SpMV's stream-bound time (measured ~1.8x — the
+    RESULTS §5 amortization argument depends on this)."""
+    _require_tpu()
+    import time
+
+    from lsbench_tpu.matrix.bsr import BsrMatrix
+    from lsbench_tpu.ops.spmv_pallas import spmm_bsr
+    bsr = BsrMatrix.from_csr(A)
+    X = jnp.asarray(np.random.default_rng(5).random((A.ncols, 8)),
+                    dtype=jnp.float32)
+
+    def wall(chain):
+        @jax.jit
+        def run(op, V):
+            def body(_, U):
+                Y = spmm_bsr(op, U, interpret=False).astype(jnp.float32)
+                return Y * jnp.float32(1e-3) + U
+            return jax.lax.fori_loop(0, chain, body, V)
+        np.asarray(run(bsr, X))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(run(bsr, X))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    per_spmm = (wall(400) - wall(100)) / 300
+    stream_bound_s = bsr.bytes_streamed / 400e9
+    print(f"spmm k=8 {per_spmm*1e6:.1f} us")
+    assert per_spmm <= 2 * stream_bound_s + 15e-6, (per_spmm,
+                                                    stream_bound_s)
+
+
+def test_interp_well_kernel_hw():
+    """Window-ELL transfer-operator kernel on the chip (round 5): f32
+    oracle accuracy + the P0-apply must beat the BSR layout's
+    conservative stream bound (the layout only engages where the cost
+    model says it wins)."""
+    _require_tpu()
+    import time
+
+    from lsbench_tpu.matrix.generate import poisson_2d
+    from lsbench_tpu.ops.interp_pallas import WindowEll, spmv_well
+    from lsbench_tpu.solvers.amg import (AmgOptions, _bsr_bytes,
+                                         build_matrix_hierarchy)
+
+    mats, _ = build_matrix_hierarchy(
+        poisson_2d(128), AmgOptions(coarsening="classical", theta=0.25))
+    P = mats[0]["P"]
+    op = WindowEll.from_csr(P)
+    assert op is not None
+    v = jnp.asarray(np.random.default_rng(0).standard_normal(P.ncols),
+                    jnp.float32)
+    y = np.asarray(spmv_well(op, v, interpret=False))
+    ref = P.matvec(np.asarray(v, np.float64))
+    assert (np.abs(y - ref).max() / np.abs(ref).max()) < 1e-6
+
+    def wall(chain):
+        @jax.jit
+        def run(o, u):
+            def body(_, uu):
+                yy = spmv_well(o, uu, interpret=False)
+                return yy[: P.ncols] * jnp.float32(1e-3) + uu
+            return jax.lax.fori_loop(0, chain, body, u)
+        np.asarray(run(op, v))
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(run(op, v))
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
+
+    per_apply = (wall(300) - wall(100)) / 200
+    bsr_bound_s = _bsr_bytes(P) / 840e9   # best-case BSR stream
+    print(f"well P apply {per_apply*1e6:.1f} us (bsr bound "
+          f"{bsr_bound_s*1e6:.1f} us)")
+    assert per_apply <= bsr_bound_s * 1.5 + 10e-6
+
+
+def test_sparse_block_schedule_hw():
+    """The blocked partitioned-inverse device sweep (round 5) on the
+    chip: correct to direct tolerance. (Perf note: RESULTS §4 records
+    the measured negative — the sweep is gather-bound, so the host
+    schedule is the auto default; this pins that the device path stays
+    available and correct for on-chip pipelines.)"""
+    _require_tpu()
+    from lsbench_tpu.matrix.generate import poisson_2d
+    from lsbench_tpu.solvers.sparse_cholesky import SparseCholeskySolver
+
+    A = poisson_2d(48)
+    b = np.arange(A.nrows, dtype=np.float64)
+    s = SparseCholeskySolver(A, schedule="block")
+    res = s.solve(b)
+    assert res.relres <= 1e-10
+    assert s.n_blocks == -(-A.nrows // 256)
