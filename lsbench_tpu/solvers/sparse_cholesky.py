@@ -728,15 +728,24 @@ class SparseCholeskySolver(Solver):
 
                 def body(s):
                     x, r, rr, rr_prev, passes = s
+                    # Freeze finished columns: under vmap (multi-RHS) the
+                    # while cond is an OR across columns, so an already-
+                    # converged or stagnating column would keep updating
+                    # (and can diverge) without this per-column gate.
+                    active = jnp.logical_and(rr > tol2, rr < rr_prev)
                     scale = jnp.sqrt(rr)
                     safe = jnp.where(scale > 0, scale, 1.0)
                     r32 = (r.astype(jnp.float32)
                            * (1.0 / safe).astype(jnp.float32))
                     d32 = tri_apply(tri, r32)
-                    x = x + (d32 * safe.astype(jnp.float32)).astype(
+                    x_new = x + (d32 * safe.astype(jnp.float32)).astype(
                         jnp.float64)
-                    r_new = bp - spmv_bsr_df64(op64, x)
-                    return (x, r_new, jnp.vdot(r_new, r_new), rr, passes + 1)
+                    x = jnp.where(active, x_new, x)
+                    r_new = jnp.where(active, bp - spmv_bsr_df64(op64, x),
+                                      r)
+                    rr_new = jnp.where(active, jnp.vdot(r_new, r_new), rr)
+                    rr_prev_new = jnp.where(active, rr, rr_prev)
+                    return (x, r_new, rr_new, rr_prev_new, passes + 1)
 
                 x0 = jnp.zeros_like(bp)
                 rr0 = jnp.vdot(bp, bp)
@@ -769,9 +778,12 @@ class SparseCholeskySolver(Solver):
 
                 def body(s):
                     x, r, rr, rr_prev, passes = s
-                    x = x + tri_apply(tri, r)
-                    r_new = bp - spmv_ell(ell_true, x)
-                    return (x, r_new, jnp.vdot(r_new, r_new), rr, passes + 1)
+                    active = jnp.logical_and(rr > tol2, rr < rr_prev)
+                    x = jnp.where(active, x + tri_apply(tri, r), x)
+                    r_new = jnp.where(active, bp - spmv_ell(ell_true, x), r)
+                    rr_new = jnp.where(active, jnp.vdot(r_new, r_new), rr)
+                    rr_prev_new = jnp.where(active, rr, rr_prev)
+                    return (x, r_new, rr_new, rr_prev_new, passes + 1)
 
                 x0 = tri_apply(tri, bp)
                 r0 = bp - spmv_ell(ell_true, x0)
