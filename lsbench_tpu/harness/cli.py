@@ -226,13 +226,30 @@ def main(argv=None) -> int:
                 print("nrhs: cg with multiple RHS runs as block_cg "
                       "(f32 SpMM inner + double-float f64 refinement, "
                       "mode fp32_ir_auto).", file=sys.stderr)
+        elif resolved_cls.name == "bicgstab":
+            # Ginkgo-role multi-RHS (ginkgo.cpp:55-64 with k RHS): k
+            # INDEPENDENT BiCGSTAB recurrences batched — per-column
+            # scalars, one SpMM per half-step riding the same streamed
+            # blocks (the RESULTS §5 amortization; block CG would
+            # wrongly share a Krylov space across unrelated RHS).
+            solver_name = "batched_bicgstab"
+            if args.verbose >= 0:
+                print("nrhs: bicgstab/ginkgo with multiple RHS runs as "
+                      "batched BiCGSTAB (f32 SpMM inner + double-float "
+                      "f64 refinement, mode fp32_ir).", file=sys.stderr)
         elif resolved_cls.name not in ("block_cg", "cholesky",
                                        "cholesky_ir"):
-            print(f"--nrhs > 1 is only implemented for the cg family "
-                  f"(block_cg) and the dense Cholesky family "
-                  f"(cholmod/cusolver: X = A⁻¹B as one MXU GEMM per "
-                  f"refinement pass); got '{solver_name}'.",
-                  file=sys.stderr)
+            # GMRES is the documented exception: a batched Arnoldi
+            # shares nothing across unrelated RHS (per-column (m+1,n)
+            # bases and Hessenberg solves — k separate solves in one
+            # program buys no operator amortization because the basis
+            # orthogonalization, not the SpMV, dominates its cost).
+            print(f"--nrhs > 1 is implemented for the cg family "
+                  f"(block_cg), bicgstab/ginkgo (batched BiCGSTAB), and "
+                  f"the dense Cholesky family (cholmod/cusolver: "
+                  f"X = A⁻¹B as one MXU GEMM per refinement pass); "
+                  f"got '{solver_name}' (for gmres run one RHS per "
+                  f"solve).", file=sys.stderr)
             return 1
 
     cls, params = get_solver(solver_name)
@@ -242,8 +259,8 @@ def main(argv=None) -> int:
         ir_map = {"cg": "cg_ir", "cholesky": "cholesky_ir",
                   "gmres": "gmres_ir", "bicgstab": "bicgstab_ir"}
         target = ir_map.get(cls.name, cls.name)
-        if target == "block_cg":
-            pass  # block_cg IS its IR form (f32 SpMM + df64 residual)
+        if target in ("block_cg", "batched_bicgstab"):
+            pass  # these ARE their IR form (f32 SpMM + df64 residual)
         elif not target.endswith("_ir"):
             print(f"Precision 'fp32_ir' is only implemented for the cg, "
                   f"cholesky, gmres, and bicgstab solver families "

@@ -10,6 +10,7 @@ from lsbench_tpu.solvers import sparse_cholesky  # noqa: F401
 from lsbench_tpu.solvers import band_cholesky  # noqa: F401
 from lsbench_tpu.solvers import amg  # noqa: F401
 from lsbench_tpu.solvers import gmres  # noqa: F401
+from lsbench_tpu.solvers import batched_bicgstab  # noqa: F401
 from lsbench_tpu.solvers import block_cg  # noqa: F401
 from lsbench_tpu.solvers.base import register_alias
 

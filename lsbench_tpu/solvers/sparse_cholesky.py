@@ -529,7 +529,13 @@ def _sweep_blocks(flat, seg_meta, n, B, bp):
             contrib = vl[:, None] * x[cl]                     # (T, k)
             s = jax.ops.segment_sum(contrib, sl, num_segments=B + 1,
                                     indices_are_sorted=False)[:B]
-            xb = Wb @ (bp[rw] - s)                            # (B, k)
+            # HIGHEST: the k≥2 path runs on the MXU, whose default
+            # bf16 operand rounding loses ~3 digits PER BLOCK and
+            # amplifies through the ~n/B sequential substitutions
+            # (measured: a 2-RHS solve diverged to 6e+1 while each
+            # column alone — lowered as a non-MXU matvec — hit 1e-11).
+            xb = jnp.matmul(Wb, bp[rw] - s,
+                            precision=jax.lax.Precision.HIGHEST)  # (B, k)
             return x.at[rw].set(xb), None
 
         x, _ = jax.lax.scan(step, x, (rows, cols, vals, slot, W))
@@ -714,43 +720,63 @@ class SparseCholeskySolver(Solver):
             self._op64 = op64
             rtol_c, max_refine_c = self.rtol, self.max_refine
 
+            # Multi-RHS runs NATIVELY as (n, k) through the schedule
+            # (the blocked sweep's W matmuls take (B, k) directly; the
+            # level sweep is vmapped — pure XLA, safe). The df64
+            # residual loops Pallas calls per column: vmapping the
+            # Pallas kernel itself miscomputes on TPU (measured: a
+            # 2-column vmapped solve diverged while each column solved
+            # alone is 1e-11 — the scalar-prefetch batching rule).
+            if schedule == "block":
+                tri_apply_nk = tri_apply
+            else:
+                def tri_apply_nk(tri, R):
+                    return jax.vmap(lambda c: tri_apply(tri, c),
+                                    in_axes=1, out_axes=1)(R)
+
+            def _cdots(A_, B_):
+                return jnp.sum(A_ * B_, axis=0)
+
             @jax.jit
             def _solve(tri, op64, b):
                 b = b.astype(jnp.float64)
                 bp = b if perm_dev is None else b[perm_dev]
-                tol2 = (rtol_c ** 2) * jnp.vdot(bp, bp)
+                k = bp.shape[1]
+                tol2 = (rtol_c ** 2) * _cdots(bp, bp)         # (k,)
+
+                def mm64(X):
+                    return jnp.stack([spmv_bsr_df64(op64, X[:, j])
+                                      for j in range(k)], axis=1)
 
                 def cond(s):
                     x, r, rr, rr_prev, passes = s
                     return jnp.logical_and(
                         passes < max_refine_c,
-                        jnp.logical_and(rr > tol2, rr < rr_prev))
+                        jnp.any(jnp.logical_and(rr > tol2, rr < rr_prev)))
 
                 def body(s):
                     x, r, rr, rr_prev, passes = s
-                    # Freeze finished columns: under vmap (multi-RHS) the
-                    # while cond is an OR across columns, so an already-
-                    # converged or stagnating column would keep updating
-                    # (and can diverge) without this per-column gate.
+                    # Per-column freeze: a converged or stagnating
+                    # column keeps its iterate while others refine.
                     active = jnp.logical_and(rr > tol2, rr < rr_prev)
                     scale = jnp.sqrt(rr)
                     safe = jnp.where(scale > 0, scale, 1.0)
                     r32 = (r.astype(jnp.float32)
-                           * (1.0 / safe).astype(jnp.float32))
-                    d32 = tri_apply(tri, r32)
-                    x_new = x + (d32 * safe.astype(jnp.float32)).astype(
-                        jnp.float64)
-                    x = jnp.where(active, x_new, x)
-                    r_new = jnp.where(active, bp - spmv_bsr_df64(op64, x),
-                                      r)
-                    rr_new = jnp.where(active, jnp.vdot(r_new, r_new), rr)
+                           * (1.0 / safe).astype(jnp.float32)[None, :])
+                    d32 = tri_apply_nk(tri, r32)
+                    x_new = x + (d32 * safe.astype(jnp.float32)[None, :]
+                                 ).astype(jnp.float64)
+                    x = jnp.where(active[None, :], x_new, x)
+                    r_new = jnp.where(active[None, :], bp - mm64(x), r)
+                    rr_new = jnp.where(active, _cdots(r_new, r_new), rr)
                     rr_prev_new = jnp.where(active, rr, rr_prev)
                     return (x, r_new, rr_new, rr_prev_new, passes + 1)
 
                 x0 = jnp.zeros_like(bp)
-                rr0 = jnp.vdot(bp, bp)
+                rr0 = _cdots(bp, bp)
                 x, r, rr, _, passes = jax.lax.while_loop(
-                    cond, body, (x0, bp, rr0, jnp.inf, jnp.int32(0)))
+                    cond, body, (x0, bp, rr0,
+                                 jnp.full((k,), jnp.inf), jnp.int32(0)))
                 return x if inv_dev is None else x[inv_dev]
 
             self._solve_args = (tri_state, op64)
@@ -765,31 +791,49 @@ class SparseCholeskySolver(Solver):
             ell_true = EllMatrix.from_csr(Ap, dtype=self.dtype)
             rtol_c, max_refine_c = self.rtol, self.max_refine
 
+            if schedule == "block":
+                tri_apply_nk = tri_apply
+            else:
+                def tri_apply_nk(tri, R):
+                    return jax.vmap(lambda c: tri_apply(tri, c),
+                                    in_axes=1, out_axes=1)(R)
+
+            def _cdots(A_, B_):
+                return jnp.sum(A_ * B_, axis=0)
+
             @jax.jit
             def _solve(tri, ell_true, b):
                 bp = (b if perm_dev is None else b[perm_dev]).astype(dtype)
-                tol2 = (rtol_c ** 2) * jnp.vdot(bp, bp)
+                k = bp.shape[1]
+                tol2 = (rtol_c ** 2) * _cdots(bp, bp)
+
+                def mm(X):
+                    return jnp.stack([spmv_ell(ell_true, X[:, j])
+                                      for j in range(k)], axis=1)
 
                 def cond(s):
                     x, r, rr, rr_prev, passes = s
                     return jnp.logical_and(
                         passes < max_refine_c,
-                        jnp.logical_and(rr > tol2, rr < rr_prev))
+                        jnp.any(jnp.logical_and(rr > tol2, rr < rr_prev)))
 
                 def body(s):
                     x, r, rr, rr_prev, passes = s
                     active = jnp.logical_and(rr > tol2, rr < rr_prev)
-                    x = jnp.where(active, x + tri_apply(tri, r), x)
-                    r_new = jnp.where(active, bp - spmv_ell(ell_true, x), r)
-                    rr_new = jnp.where(active, jnp.vdot(r_new, r_new), rr)
+                    x = jnp.where(active[None, :],
+                                  x + tri_apply_nk(tri, r), x)
+                    r_new = jnp.where(active[None, :], bp - mm(x), r)
+                    rr_new = jnp.where(active, _cdots(r_new, r_new), rr)
                     rr_prev_new = jnp.where(active, rr, rr_prev)
                     return (x, r_new, rr_new, rr_prev_new, passes + 1)
 
-                x0 = tri_apply(tri, bp)
-                r0 = bp - spmv_ell(ell_true, x0)
-                rr0 = jnp.vdot(r0, r0)
+                x0 = tri_apply_nk(tri, bp)
+                r0 = bp - mm(x0)
+                rr0 = _cdots(r0, r0)
                 x, _, _, _, _ = jax.lax.while_loop(
-                    cond, body, (x0, r0, rr0, jnp.inf, jnp.int32(0)))
+                    cond, body, (x0, r0, rr0,
+                                 jnp.full((k,), jnp.inf, dtype),
+                                 jnp.int32(0)))
                 return x if inv_dev is None else x[inv_dev]
 
             self._solve_args = (tri_state, ell_true)
@@ -827,10 +871,8 @@ class SparseCholeskySolver(Solver):
         if self.schedule == "host":
             return self._host_solve(b)
         if b.ndim == 2:
-            args = self._solve_args
-            return jax.vmap(lambda col: self._jit_solve(*args, col),
-                            in_axes=1, out_axes=1)(b)
-        return self._jit_solve(*self._solve_args, b)
+            return self._jit_solve(*self._solve_args, b)
+        return self._jit_solve(*self._solve_args, b[:, None])[:, 0]
 
     def solve(self, b) -> SolveResult:
         b = jnp.asarray(b)

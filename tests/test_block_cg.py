@@ -127,13 +127,18 @@ def test_block_cg_solve_fn_1d_rhs():
     np.testing.assert_allclose(x, x2, rtol=1e-12)
 
 
-def test_cli_nrhs_ginkgo_alias_rejected_by_resolved_name(capsys):
-    """ADVICE r2: --nrhs gating resolves the alias first; ginkgo→bicgstab
-    is not in the multi-RHS families and must be rejected cleanly."""
+def test_cli_nrhs_ginkgo_alias_routes_batched(capsys):
+    """ADVICE r2 gating still resolves the alias first; round 5 the
+    resolved bicgstab family now ROUTES to batched BiCGSTAB instead of
+    rejecting (VERDICT r4 missing 6)."""
+    import json
+
     from lsbench_tpu.harness.cli import main
     rc = main(["--matrix", REF, "--solver", "ginkgo", "--nrhs", "2",
-               "--trials", "1", "--platform", "cpu"])
-    assert rc == 1
+               "--trials", "1", "--json", "--platform", "cpu"])
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["nrhs"] == 2
 
 
 def test_block_cg_shared_fewer_iters_than_simultaneous():
@@ -205,3 +210,61 @@ def test_block_cg_bench_record_precision(capsys):
     import json
     rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "fp32_ir" in rec["precision"]
+
+
+# ----------------------- batched multi-RHS BiCGSTAB (round 5, --nrhs 9)
+
+def test_batched_bicgstab_solves_multi_rhs():
+    from lsbench_tpu.matrix.io import read_matrix
+    from lsbench_tpu.solvers.batched_bicgstab import BatchedBicgstabSolver
+    A = read_matrix("/root/reference/tests/xn3b_A_18.txt")
+    rng = np.random.default_rng(0)
+    B = np.column_stack([np.arange(A.nrows, dtype=np.float64),
+                         rng.standard_normal(A.nrows),
+                         rng.standard_normal(A.nrows)])
+    s = BatchedBicgstabSolver(A, rtol=1e-10)
+    res = s.solve(B)
+    assert res.converged
+    X = np.asarray(res.x)
+    for j in range(3):
+        r = (np.linalg.norm(B[:, j] - A.matvec(X[:, j]))
+             / np.linalg.norm(B[:, j]))
+        assert r <= 1e-10, (j, r)
+    assert res.extra["nrhs"] == 3
+    assert res.extra["precision_mode"] == "fp32_ir"
+
+
+def test_batched_bicgstab_matches_single():
+    # Column 0 of a batch must agree with a single-RHS BiCGSTAB solve of
+    # the same system (independent recurrences — not a shared subspace).
+    from lsbench_tpu.matrix.generate import poisson_2d
+    from lsbench_tpu.solvers.batched_bicgstab import BatchedBicgstabSolver
+    A = poisson_2d(16)
+    b = np.arange(A.nrows, dtype=np.float64)
+    B = np.column_stack([b, np.ones(A.nrows)])
+    Xb = np.asarray(BatchedBicgstabSolver(A, rtol=1e-10).solve(B).x)
+    xs = np.linalg.solve(A.to_dense(), b)
+    np.testing.assert_allclose(Xb[:, 0], xs, rtol=1e-7, atol=1e-8)
+
+
+def test_cli_ginkgo_nrhs(capsys):
+    import json
+
+    from lsbench_tpu.harness.cli import main
+    rc = main(["--matrix", "/root/reference/tests/xn3b_A_18.txt",
+               "--solver", "ginkgo", "--nrhs", "4", "--trials", "1",
+               "--json", "--platform", "cpu"])
+    assert rc == 0
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["nrhs"] == 4
+    assert rec["converged"] is True
+
+
+def test_cli_gmres_nrhs_documented_rejection(capsys):
+    from lsbench_tpu.harness.cli import main
+    rc = main(["--matrix", "/root/reference/tests/xn3b_A_18.txt",
+               "--solver", "gmres", "--nrhs", "2", "--trials", "1",
+               "--platform", "cpu"])
+    assert rc == 1
+    err = capsys.readouterr().err
+    assert "batched BiCGSTAB" in err and "gmres" in err
