@@ -74,10 +74,25 @@ def run_sweep(A, counts, iters=100, reps=3, strategy="auto",
     Returns the list of per-configuration records (also the importable
     core of `python -m lsbench_tpu.scale` — _results_scale_sweep.py uses
     it to regenerate RESULTS.md §7)."""
+    import sys
+
     import numpy as np
+
+    import jax
 
     from lsbench_tpu.parallel.dist_cg import DistributedCg
     from lsbench_tpu.parallel.mesh import make_mesh_2d, make_row_mesh
+
+    # Validate here, not only in main(): importers (e.g.
+    # _results_scale_sweep.py) would otherwise crash mid-sweep on a
+    # mesh-construction error and lose the earlier records (ADVICE r4).
+    avail = jax.device_count()
+    usable = [d for d in counts if d <= avail]
+    for d in counts:
+        if d > avail:
+            print(f"run_sweep: skipping {d} devices (have {avail})",
+                  file=sys.stderr)
+    counts = usable
 
     b = np.arange(A.nrows, dtype=np.float64)
     work = A.nnz * iters
