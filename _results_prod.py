@@ -27,6 +27,9 @@ CONFIGS = {
     "amgcg_ir": ["--solver", "cg", "--precision", "fp32_ir",
                  "--precond", "amg_classical", "--rtol", "1e-10"],
     "block_cg_k8": ["--solver", "cg", "--nrhs", "8", "--rtol", "1e-10"],
+    # Round 5: the Ginkgo role's multi-RHS form (batched BiCGSTAB —
+    # k independent recurrences, one SpMM per half-step).
+    "ginkgo_k8": ["--solver", "ginkgo", "--nrhs", "8", "--rtol", "1e-10"],
 }
 DATA_DIR = "/root/reference/tests"
 CKPT = os.path.join(os.path.dirname(__file__), "_results_prod.jsonl")
