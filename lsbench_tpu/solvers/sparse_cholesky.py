@@ -6,13 +6,25 @@ The reference's default backend factors on the host CPU (CHOLMOD with
 (cholmod-impl.h:44-63). This module mirrors that split natively:
 
 - host symbolic phase: elimination tree (Liu's algorithm with path
-  compression), per-row fill pattern by etree reach;
+  compression), per-row fill pattern by etree reach, behind native
+  approximate minimum degree (mindeg.cpp::lsb_amd);
 - host numeric phase: left-looking sparse column Cholesky over the exact
-  fill pattern (flat CSC arrays, vectorized column updates);
-- device solve phase (the timed region): level-scheduled triangular solves
-  — rows grouped into dependency levels of the L / Lᵀ DAGs, one padded
-  gather/FMA/scatter step per level inside a `lax.scan`. Static shapes,
-  no data-dependent control flow (XLA-friendly by construction).
+  fill pattern (flat CSC arrays; native C++ with a Python fallback);
+- solve phase (the timed region, cholmod-impl.h:44-63) — THREE
+  schedules (`schedule=`):
+  * "host" (the AUTO default when the native lib builds): CSC two-sweep
+    substitution on the CPU — exactly where the reference's default
+    backend solves (cholmod.c:68 useGPU=0), and 26× faster than either
+    device schedule at n=262k (RESULTS §4: both are bound by XLA's
+    ~20 ns/element gather over the fill, not by dependency depth);
+  * "block": partitioned-inverse device sweep — rows level-sorted into
+    256-blocks, within-block couplings inverted at setup (batched
+    triangular solves on device from compact ~nnz uploads), ~n/256
+    sequential steps of gather + segment-sum + one HIGHEST-precision
+    (256,256)@(256,k) MXU matmul; multi-RHS rides natively and
+    amortizes the gathers ~5×/column at k=8;
+  * "level": the round-4 level-scheduled `lax.scan` (segmented flat
+    packing), kept for comparison and as ic0.py's apply machinery.
 
 The dense MXU Cholesky (solvers/direct.py) remains the faster choice at
 reference scale (n ≤ ~10⁴ dense fits comfortably); this path removes the
