@@ -90,8 +90,15 @@ def main():
     from lsbench_tpu.solvers.base import get_solver
     b = np.arange(A.nrows, dtype=np.float64)
     cls, ps = get_solver("cg_ir")
+        # Round 5: the production interpolation preset (the r3 damped
+    # ideal-interp that the hypre/amgx aliases and --precond
+    # amg_classical use — RESULTS §1) nearly QUARTERS the CG iteration
+    # count at this scale vs plain direct interpolation (13 vs 57
+    # iters, 0.43 vs 0.82 s/solve measured on-chip).
     ps.update(rtol=1e-10, precond="amg",
-              precond_params=dict(coarsening="classical", theta=0.25))
+              precond_params=dict(coarsening="classical", theta=0.25,
+                                  interp="jacobi", interp_passes=3,
+                                  interp_omega=0.5, pmax=8))
     t0 = time.perf_counter()
     s = cls(A, **ps)
     setup_s = time.perf_counter() - t0
@@ -125,8 +132,15 @@ def main():
     A_sem = sem_2d(256, 2)
     b_sem = np.arange(A_sem.nrows, dtype=np.float64)
     cls, ps = get_solver("cg_ir")
+        # Round 5: the production interpolation preset (the r3 damped
+    # ideal-interp that the hypre/amgx aliases and --precond
+    # amg_classical use — RESULTS §1) nearly QUARTERS the CG iteration
+    # count at this scale vs plain direct interpolation (13 vs 57
+    # iters, 0.43 vs 0.82 s/solve measured on-chip).
     ps.update(rtol=1e-10, precond="amg",
-              precond_params=dict(coarsening="classical", theta=0.25))
+              precond_params=dict(coarsening="classical", theta=0.25,
+                                  interp="jacobi", interp_passes=3,
+                                  interp_omega=0.5, pmax=8))
     t0 = time.perf_counter()
     s = cls(A_sem, **ps)
     setup_s = time.perf_counter() - t0
