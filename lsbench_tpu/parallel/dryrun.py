@@ -71,6 +71,14 @@ def run_dryrun(n_devices: int) -> None:
         res_f.iters, res_f.relres)
     assert amg_fixed.local_spmv == "bsr"
 
+    # Distributed K-cycle (the parAlmond protocol over the mesh — FCG
+    # coarse correction with fused psums per level, round 5).
+    amg_k = DistributedAmg(A, mesh, dtype=jnp.float64, cycles=1,
+                           cycle="k", coarse_n=16, max_levels=3)
+    res_k1 = amg_k.solve(b)
+    assert res_k1.iters == 1 and np.isfinite(res_k1.relres), (
+        res_k1.iters, res_k1.relres)
+
     # Distributed mixed-precision CG (f32 inner + df64 refinement — the
     # production fp64 mode over a mesh) on the Pallas-BSR local SpMV.
     from lsbench_tpu.parallel.dist_cg_ir import DistributedCgIr
